@@ -1,0 +1,64 @@
+"""Render configuration.
+
+Unifies the reference's three config layers into one runtime dataclass
+(reference: compile-time C++ consts in src/Main.cpp:13-34, the
+RendererConfiguration struct in include/RendererCore.hpp:13-27, and the
+GLSL #defines in shaders/path_tracing.comp:16-22 /
+shaders/heitz/BSDF.glsl:8 / shaders/tex_to_quad.frag:21-22).
+
+All fields become static arguments of the jitted render step, so a
+config change triggers a recompile exactly like rebuilding a shader
+variant would in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Image (reference: src/Main.cpp:30, RendererConfiguration.renderScale
+    # applied at src/RendererPT.cpp:254-255,532-533).
+    width: int = 1920
+    height: int = 1080
+    render_scale: int = 1
+
+    # Path tracing (reference: shaders/path_tracing.comp:19-22).
+    max_depth: int = 10
+    rr_bounces: int = 2           # RUSSIAN_ROULETTE_BOUNCES
+    rr_threshold: float = 0.5     # q < 0.5 gate (path_tracing.comp:318)
+    use_microfacet: bool = True   # USE_MICROFACET: Heitz vs basic BSDFs
+    heitz_max_order: int = 16     # shaders/heitz/BSDF.glsl:8
+
+    # Environment: constant grey on miss
+    # (path_tracing.comp:221, rtx/miss.rmiss:11).
+    env_color: float = 0.2
+
+    # Display transform (shaders/tex_to_quad.frag:21-22).
+    exposure: float = 1.5
+    gamma: float = 2.2
+
+    # Intersection epsilon (shaders/common/constants.glsl:4).
+    eps: float = 1e-4
+
+    # BVH build knobs (ours; the reference delegates to lsg's SBVH).
+    bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf
+    bvh_bins: int = 16            # SAH bins
+
+    # Execution.
+    ray_batch: int = 1 << 16      # wavefront batch size (rays per step)
+    use_pallas: bool = True       # Pallas kernels where available
+    parity_rng: bool = True       # bit-faithful LCG-hash RNG
+                                  # (shaders/common/random.glsl:9-15)
+
+    @property
+    def render_width(self) -> int:
+        return self.width * self.render_scale
+
+    @property
+    def render_height(self) -> int:
+        return self.height * self.render_scale
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,320 @@
+"""Scene compiler: loaded glTF → device SoA.
+
+TPU-native replacement for PTSceneConverter / RTXSceneConverter
+(src/PTSceneConverter.cpp:29-156, src/RTXSceneConverter.cpp:29-89): one
+compiler serves both of the reference's backends because on TPU there
+is no hardware acceleration structure — BLAS/TLAS and the software
+two-level BVH collapse into the same SoA arrays.
+
+Per submesh ("object", matching the reference's per-submesh
+GPUObjectData at src/PTSceneConverter.cpp:63-88):
+  * flatten world matrix + inverse and PBR factors,
+  * build a SAH BVH over its triangles, reorder triangles into leaf
+    order and emit interleaved pos/normal/uv (3 vertices per triangle,
+    no index buffer — src/PTSceneConverter.cpp:105-120),
+  * record bvh_offset / vertices_offset.
+
+Then build the top-level object BVH over world-space AABBs and permute
+the object table into its leaf order (src/PTSceneConverter.cpp:133-142).
+Finally derive the fused single-array traversal BVH (see
+scene/types.py) and pack textures into an atlas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.scene.bvh import BVH, build_bvh, build_triangle_bvh
+from logipathtracer_tpu.scene.gltf import Gltf, Material
+from logipathtracer_tpu.scene.types import CameraState, SceneSoA
+
+
+def _transform_aabb(mn: np.ndarray, mx: np.ndarray,
+                    m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """World-space AABB of a transformed AABB (lsg AABB::transform,
+    src/PTSceneConverter.cpp:122)."""
+    corners = np.stack([
+        np.where(np.arange(8) & 1, mx[0], mn[0]),
+        np.where(np.arange(8) & 2, mx[1], mn[1]),
+        np.where(np.arange(8) & 4, mx[2], mn[2]),
+    ], axis=-1)
+    world = corners @ m[:3, :3].T + m[:3, 3]
+    return world.min(axis=0), world.max(axis=0)
+
+
+def _default_material() -> Material:
+    return Material(name="__default__")
+
+
+def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
+                  use_native: bool = True) -> SceneSoA:
+    cfg = config or RenderConfig()
+
+    obj_world = []
+    obj_base_color = []
+    obj_emission = []
+    obj_mrti = []
+    obj_tex = []
+    obj_bvh_offset = []
+    obj_vtx_offset = []
+    obj_world_aabb_min = []
+    obj_world_aabb_max = []
+    mesh_bvhs: list[BVH] = []
+
+    mesh_min_parts = []
+    mesh_max_parts = []
+    mesh_meta_parts = []
+    vtx_pos_parts = []
+    vtx_nrm_parts = []
+    vtx_uv_parts = []
+
+    mesh_node_cursor = 0
+    vtx_cursor = 0
+
+    builder = _select_builder(use_native)
+
+    for node in gltf.mesh_nodes:
+        world = node.world_matrix.astype(np.float32)
+        world_inv = np.linalg.inv(world.astype(np.float64)).astype(np.float32)
+        for prim in node.primitives:
+            mat = (gltf.materials[prim.material]
+                   if 0 <= prim.material < len(gltf.materials)
+                   else _default_material())
+            tri_pos = prim.positions.astype(np.float32)  # [T, 3, 3]
+            bvh = builder(tri_pos, leaf_size=cfg.bvh_leaf_size,
+                          bins=cfg.bvh_bins)
+            mesh_bvhs.append(bvh)
+
+            order = bvh.prim_order
+            mesh_min_parts.append(bvh.nodes_min)
+            mesh_max_parts.append(bvh.nodes_max)
+            mesh_meta_parts.append(bvh.nodes_meta)
+            vtx_pos_parts.append(tri_pos[order].reshape(-1, 3))
+            vtx_nrm_parts.append(
+                prim.normals.astype(np.float32)[order].reshape(-1, 3))
+            if prim.uvs is not None:
+                vtx_uv_parts.append(
+                    prim.uvs.astype(np.float32)[order].reshape(-1, 2))
+            else:
+                vtx_uv_parts.append(
+                    np.zeros((order.shape[0] * 3, 2), np.float32))
+
+            obj_world.append(world)
+            obj_base_color.append(mat.base_color_factor.astype(np.float32))
+            obj_emission.append(mat.emissive_factor.astype(np.float32))
+            obj_mrti.append(np.array([
+                mat.metallic_factor, mat.roughness_factor,
+                mat.transmission_factor, mat.ior], np.float32))
+            obj_tex.append(np.array([
+                mat.base_color_texture, mat.emissive_texture,
+                mat.metallic_roughness_texture, mat.transmission_texture,
+                mat.normal_texture], np.int32))
+            obj_bvh_offset.append(mesh_node_cursor)
+            obj_vtx_offset.append(vtx_cursor)
+
+            wmin, wmax = _transform_aabb(bvh.nodes_min[0], bvh.nodes_max[0],
+                                         world)
+            obj_world_aabb_min.append(wmin.astype(np.float32))
+            obj_world_aabb_max.append(wmax.astype(np.float32))
+
+            mesh_node_cursor += bvh.num_nodes
+            vtx_cursor += order.shape[0] * 3
+
+    num_objects = len(obj_world)
+    assert num_objects > 0, "scene has no renderable geometry"
+
+    # Top-level object BVH over world AABBs; leaf_size=1 so each leaf is
+    # exactly one object (the reference allows ranges; single-object
+    # leaves let the fused layout splice mesh roots in directly).
+    obvh = build_bvh(np.stack(obj_world_aabb_min),
+                     np.stack(obj_world_aabb_max), leaf_size=1, bins=cfg.bvh_bins)
+
+    # Permute object table into object-BVH leaf order
+    # (src/PTSceneConverter.cpp:140-142).
+    perm = obvh.prim_order
+
+    def permute(parts):
+        return [parts[i] for i in perm]
+
+    obj_world = np.stack(permute(obj_world))
+    obj_world_inv = np.linalg.inv(
+        obj_world.astype(np.float64)).astype(np.float32)
+    obj_base_color = np.stack(permute(obj_base_color))
+    obj_emission = np.stack(permute(obj_emission))
+    obj_mrti = np.stack(permute(obj_mrti))
+    obj_tex = np.stack(permute(obj_tex))
+    obj_bvh_offset = np.asarray(permute(obj_bvh_offset), np.int32)
+    obj_vtx_offset = np.asarray(permute(obj_vtx_offset), np.int32)
+    mesh_bvhs_perm = permute(mesh_bvhs)
+
+    mesh_bvh_min = np.concatenate(mesh_min_parts)
+    mesh_bvh_max = np.concatenate(mesh_max_parts)
+    mesh_bvh_meta = np.concatenate(mesh_meta_parts)
+    vtx_pos = np.concatenate(vtx_pos_parts)
+    vtx_nrm = np.concatenate(vtx_nrm_parts)
+    vtx_uv = np.concatenate(vtx_uv_parts)
+
+    fused_min, fused_max, fused_meta, max_stack = _fuse_bvh(
+        obvh, mesh_bvhs_perm, obj_bvh_offset, obj_vtx_offset,
+        mesh_bvh_min, mesh_bvh_max, mesh_bvh_meta)
+
+    tex_atlas, tex_table = _pack_textures(gltf)
+
+    cameras = tuple(
+        CameraState(world_matrix=c.world_matrix, yfov=c.yfov, name=c.name)
+        for c in gltf.cameras)
+
+    return SceneSoA(
+        obj_world=obj_world,
+        obj_world_inv=obj_world_inv,
+        obj_base_color=obj_base_color,
+        obj_emission=obj_emission,
+        obj_mrti=obj_mrti,
+        obj_tex=obj_tex,
+        obj_bvh_offset=obj_bvh_offset,
+        obj_vtx_offset=obj_vtx_offset,
+        object_bvh_min=obvh.nodes_min,
+        object_bvh_max=obvh.nodes_max,
+        object_bvh_meta=obvh.nodes_meta,
+        mesh_bvh_min=mesh_bvh_min,
+        mesh_bvh_max=mesh_bvh_max,
+        mesh_bvh_meta=mesh_bvh_meta,
+        vtx_pos=vtx_pos,
+        vtx_nrm=vtx_nrm,
+        vtx_uv=vtx_uv,
+        fused_min=fused_min,
+        fused_max=fused_max,
+        fused_meta=fused_meta,
+        tex_atlas=tex_atlas,
+        tex_table=tex_table,
+        num_objects=num_objects,
+        num_triangles=vtx_pos.shape[0] // 3,
+        max_stack=max_stack,
+        cameras=cameras,
+        name=gltf.name,
+    )
+
+
+def _select_builder(use_native: bool):
+    if use_native:
+        try:
+            from logipathtracer_tpu.scene.bvh_native import (
+                build_triangle_bvh_native, native_available)
+            if native_available():
+                return build_triangle_bvh_native
+        except Exception:
+            pass
+    return build_triangle_bvh
+
+
+def _fuse_bvh(obvh: BVH, mesh_bvhs: list[BVH], obj_bvh_offset, obj_vtx_offset,
+              mesh_min, mesh_max, mesh_meta):
+    """Merge object + mesh BVHs into one node array (see scene/types.py).
+
+    Global ids: object-BVH node i keeps id i; mesh node j of the
+    concatenated mesh array gets id No + j.  Object-BVH leaves (exactly
+    one object each) are rewritten as inner nodes whose single purpose
+    disappears: the parent's child pointer is redirected straight at the
+    object's mesh root, so object leaves are dropped from traversal
+    (they stay in the array as unreferenced padding to keep ids stable).
+    """
+    no = obvh.num_nodes
+    fused_min = np.concatenate([obvh.nodes_min, mesh_min]).astype(np.float32)
+    fused_max = np.concatenate([obvh.nodes_max, mesh_max]).astype(np.float32)
+    m_total = fused_min.shape[0]
+    fused_meta = np.zeros((m_total, 4), np.int32)
+    fused_meta[:, 3] = -1
+
+    # Object-level nodes.
+    leaf_to_root = {}  # object-leaf node id -> (mesh root global id, obj)
+    for i in range(no):
+        is_leaf, a, b = obvh.nodes_meta[i]
+        if is_leaf:
+            assert b - a == 1, "object BVH must have single-object leaves"
+            obj = int(a)  # leaf range [a, a+1) over permuted object table
+            root = no + int(obj_bvh_offset[obj])
+            leaf_to_root[i] = (root, obj)
+        else:
+            fused_meta[i] = (0, a, b, -1)
+
+    # Redirect parents of object leaves at mesh roots; replace the leaf's
+    # AABB/meta in place too (covers the single-object-scene root case).
+    for i in range(no):
+        if fused_meta[i, 0] == 0 and i not in leaf_to_root:
+            for c in (1, 2):
+                child = int(fused_meta[i, c])
+                if child in leaf_to_root:
+                    fused_meta[i, c] = leaf_to_root[child][0]
+    # Object-space AABBs for spliced mesh roots are already present in the
+    # mesh section; the world-space object AABB stays on the (now
+    # unreferenced) object-leaf slot.
+
+    # Mesh-level nodes: bias child ids, globalize leaf triangle ranges,
+    # tag with owning object.
+    depth_cap = obvh.max_depth
+    for obj, bvh in enumerate(mesh_bvhs):
+        nn = bvh.num_nodes
+        base = no + int(obj_bvh_offset[obj])
+        tri_base = int(obj_vtx_offset[obj]) // 3
+        meta = bvh.nodes_meta
+        sl = slice(base, base + nn)
+        fm = fused_meta[sl]
+        is_leaf = meta[:, 0] == 1
+        fm[:, 0] = np.where(is_leaf, 1, 0)
+        fm[:, 1] = np.where(is_leaf, meta[:, 1] + tri_base, meta[:, 1] + base)
+        fm[:, 2] = np.where(is_leaf, meta[:, 2] + tri_base, meta[:, 2] + base)
+        fm[:, 3] = obj
+        fused_meta[sl] = fm
+        depth_cap = max(depth_cap, obvh.max_depth + bvh.max_depth)
+
+    # Worst-case stack: one pending sibling per level of the fused walk.
+    max_stack = depth_cap + 2
+
+    # Root handling: traversal starts by pushing node 0. If the whole
+    # scene is one object, node 0 is an object leaf -> start at its mesh
+    # root instead. Encode by rewriting node 0 as a redirect if needed.
+    if 0 in leaf_to_root:
+        root, obj = leaf_to_root[0]
+        fused_min[0] = fused_min[root]
+        fused_max[0] = fused_max[root]
+        fused_meta[0] = fused_meta[root]
+    return fused_min, fused_max, fused_meta, int(max_stack)
+
+
+def _pack_textures(gltf: Gltf):
+    """Shelf-pack all textures into one RGBA f32 atlas.
+
+    The reference binds up to 512 separate sampled images
+    (path_tracing.comp:105); TPU has no samplers, so sampling is a
+    gather from this atlas (ops/texture.py).
+    """
+    if not gltf.textures:
+        atlas = np.ones((1, 8, 4), np.float32)
+        table = np.zeros((1, 6), np.int32)
+        table[0] = (0, 0, 1, 1, 10497, 10497)
+        return atlas, table
+
+    # Simple shelf packing, row by row.
+    max_w = max(max(t.pixels.shape[1] for t in gltf.textures), 8)
+    shelf_x = 0
+    shelf_y = 0
+    shelf_h = 0
+    coords = []
+    for t in gltf.textures:
+        h, w = t.pixels.shape[:2]
+        if shelf_x + w > max_w:
+            shelf_y += shelf_h
+            shelf_x = 0
+            shelf_h = 0
+        coords.append((shelf_x, shelf_y))
+        shelf_x += w
+        shelf_h = max(shelf_h, h)
+    total_h = shelf_y + shelf_h
+    atlas = np.zeros((total_h, max_w, 4), np.float32)
+    table = np.zeros((len(gltf.textures), 6), np.int32)
+    for i, (t, (x, y)) in enumerate(zip(gltf.textures, coords)):
+        h, w = t.pixels.shape[:2]
+        atlas[y:y + h, x:x + w] = t.pixels.astype(np.float32) / 255.0
+        table[i] = (x, y, w, h, t.wrap_s, t.wrap_t)
+    return atlas, table

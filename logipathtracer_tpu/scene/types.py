@@ -1,0 +1,114 @@
+"""Scene SoA: the device-resident flattened scene.
+
+TPU-native replacement for the four SSBOs + texture array the reference
+uploads (src/PTSceneConverter.cpp:146-153; GLSL bindings 2-6 in
+shaders/path_tracing.comp:89-105).  Everything is a struct-of-arrays
+jnp pytree so kernels do contiguous vectorized gathers instead of the
+GLSL struct loads.
+
+Two views of the BVH coexist:
+
+  * the *reference layout* (object BVH + concatenated per-mesh BVHs with
+    per-object ``bvh_offset`` bias and local leaf ranges) — kept for
+    schema parity and debugging;
+  * the *fused* single-array layout used by the traversal kernels: all
+    nodes in one array, child indices pre-biased to global, object-level
+    leaves replaced by the owning object's mesh root, and every node
+    tagged with the object whose local space its AABB lives in
+    (-1 = world space).  Traversal then needs exactly one stack and one
+    code path — the TPU-friendly restructuring of the reference's
+    nested two-level walk (shaders/path_tracing.comp:130-209).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraState:
+    """Host-side camera (reference: PathTracerUBO camera fill,
+    src/RendererPT.cpp:41-47)."""
+
+    world_matrix: np.ndarray  # [4, 4] float32, column-vector convention
+    yfov: float
+    name: str = ""
+
+
+@dataclasses.dataclass
+class SceneSoA:
+    # Per-object data (reference GPUObjectData,
+    # include/PTSceneConverter.hpp:15-42), permuted into object-BVH leaf
+    # order (src/PTSceneConverter.cpp:140-142).
+    obj_world: Any        # [O, 4, 4] f32
+    obj_world_inv: Any    # [O, 4, 4] f32
+    obj_base_color: Any   # [O, 4] f32
+    obj_emission: Any     # [O, 3] f32
+    obj_mrti: Any         # [O, 4] f32: metallic, roughness, transmission, ior
+    obj_tex: Any          # [O, 5] i32: color/emission/mr/transmission/normal
+    obj_bvh_offset: Any   # [O] i32 into mesh BVH arrays
+    obj_vtx_offset: Any   # [O] i32 into vertex arrays (counts vertices)
+
+    # Reference-layout BVHs (meta = is_leaf, a, b; local indices).
+    object_bvh_min: Any   # [No, 3] f32 (world space)
+    object_bvh_max: Any
+    object_bvh_meta: Any  # [No, 3] i32
+    mesh_bvh_min: Any     # [Nm, 3] f32 (object space)
+    mesh_bvh_max: Any
+    mesh_bvh_meta: Any    # [Nm, 3] i32
+
+    # Triangle soup in BVH leaf order, 3 vertices per triangle
+    # (reference GPUVertex stream, src/PTSceneConverter.cpp:105-120).
+    vtx_pos: Any          # [V, 3] f32
+    vtx_nrm: Any          # [V, 3] f32
+    vtx_uv: Any           # [V, 2] f32
+
+    # Fused traversal arrays (derived; see module docstring).
+    fused_min: Any        # [M, 3] f32
+    fused_max: Any        # [M, 3] f32
+    fused_meta: Any       # [M, 4] i32: kind(0=inner,1=leaf), a, b, obj
+    # kind=inner: a, b = global child node ids
+    # kind=leaf:  [a, b) = global triangle range (tri t -> vertices 3t..3t+2)
+
+    # Texture atlas (512-slot bindless array equivalent,
+    # shaders/path_tracing.comp:105).
+    tex_atlas: Any        # [AH, AW, 4] f32, linear [0,1] storage
+    tex_table: Any        # [NT, 6] i32: x, y, w, h, wrap_s, wrap_t
+
+    # Static metadata (aux_data, not traced).
+    num_objects: int = 0
+    num_triangles: int = 0
+    max_stack: int = 16
+    cameras: tuple = ()
+    name: str = ""
+
+    _ARRAY_FIELDS = (
+        "obj_world", "obj_world_inv", "obj_base_color", "obj_emission",
+        "obj_mrti", "obj_tex", "obj_bvh_offset", "obj_vtx_offset",
+        "object_bvh_min", "object_bvh_max", "object_bvh_meta",
+        "mesh_bvh_min", "mesh_bvh_max", "mesh_bvh_meta",
+        "vtx_pos", "vtx_nrm", "vtx_uv",
+        "fused_min", "fused_max", "fused_meta",
+        "tex_atlas", "tex_table",
+    )
+    _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
+                      "cameras", "name")
+
+
+def _soa_flatten(s: SceneSoA):
+    children = tuple(getattr(s, f) for f in SceneSoA._ARRAY_FIELDS)
+    aux = tuple(getattr(s, f) for f in SceneSoA._STATIC_FIELDS)
+    return children, aux
+
+
+def _soa_unflatten(aux, children):
+    kw = dict(zip(SceneSoA._ARRAY_FIELDS, children))
+    kw.update(zip(SceneSoA._STATIC_FIELDS, aux))
+    return SceneSoA(**kw)
+
+
+jax.tree_util.register_pytree_node(SceneSoA, _soa_flatten, _soa_unflatten)

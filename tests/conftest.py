@@ -1,0 +1,36 @@
+"""Test env: CPU backend with 8 virtual devices.
+
+Mirrors the SURVEY.md §4 plan: multi-chip sharding is validated on a
+virtual CPU mesh (xla_force_host_platform_device_count), and every
+kernel has a CPU-runnable path (the reference's 'lavapipe analog').
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_RESOURCES = "/root/reference/resources"
+
+
+@pytest.fixture(scope="session")
+def cornell_gltf():
+    from logipathtracer_tpu.scene.gltf import load_gltf
+    return load_gltf(os.path.join(REFERENCE_RESOURCES, "cornell_box.gltf"))
+
+
+@pytest.fixture(scope="session")
+def cornell_scene(cornell_gltf):
+    from logipathtracer_tpu.scene.compile import compile_scene
+    return compile_scene(cornell_gltf)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
