@@ -1,0 +1,220 @@
+"""Megakernel-style render step: one fused jitted function per sample.
+
+The vectorized re-expression of shaders/path_tracing.comp main() +
+traceRay() (:211-352): every pixel's full path is carried in lockstep
+through a static ``max_depth`` bounce loop with lane masks standing in
+for the reference's branches.  This is both the production render step
+and the CI oracle (it runs identically on CPU and TPU).
+
+Faithfulness ledger items implemented here (SURVEY.md §7):
+  * miss OVERWRITES accColor with mask*0.2 (path_tracing.comp:220-223 —
+    an assignment, not +=, so earlier collected emission is discarded;
+    reproduced for parity),
+  * emission added pre-BSDF with the pre-bounce mask (:269),
+  * sRGB→linear on base color after factor x texture (:263),
+  * roughness floor 0.001 (:238),
+  * front-face normal flip and the 0.1-threshold tangent-axis pick
+    (:273-275), normals transformed by mat3(world) without
+    inverse-transpose (:272 — reference quirk, kept),
+  * RR: q = max channel, threshold 0.5, active for bounce > 2, 1/q
+    boost (:317-323),
+  * per-pixel RNG stream seed = ubo.seed * pixel.xy (:341).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.film.image import srgb_to_linear
+from logipathtracer_tpu.ops import bsdf
+from logipathtracer_tpu.ops.camera import generate_ray
+from logipathtracer_tpu.ops.intersect import (INF, barycentric,
+                                              transform_dir, transform_point)
+from logipathtracer_tpu.ops.rng import rand_parity_masked, seed_from_pixel
+from logipathtracer_tpu.ops.texture import sample_atlas
+from logipathtracer_tpu.ops.traverse import intersect_scene
+
+
+def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
+               intersect_fn=None):
+    """Path-trace a batch of rays: the traceRay loop
+    (path_tracing.comp:211-327) vectorized over [R] lanes.
+
+    Returns (radiance [R, 3], seed').
+    """
+    isect = intersect_fn or intersect_scene
+    r = origin.shape[0]
+    acc = jnp.zeros((r, 3), jnp.float32)
+    mask = jnp.ones((r, 3), jnp.float32)
+    alive = jnp.ones((r,), bool)
+
+    def bounce_body(bounce, state):
+        origin, direction, acc, mask, alive, seed = state
+        t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
+        miss = alive & (t >= INF)
+        # Reference assigns (not adds) mask*env on miss (:220-223).
+        acc = jnp.where(miss[:, None], mask * cfg.env_color, acc)
+        alive = alive & ~miss
+
+        safe_obj = jnp.maximum(obj, 0)
+        safe_tri = jnp.maximum(tri, 0)
+
+        world = jnp.take(scene.obj_world, safe_obj, axis=0)
+        world_inv = jnp.take(scene.obj_world_inv, safe_obj, axis=0)
+        base_color = jnp.take(scene.obj_base_color, safe_obj, axis=0)
+        emission = jnp.take(scene.obj_emission, safe_obj, axis=0)
+        mrti = jnp.take(scene.obj_mrti, safe_obj, axis=0)
+
+        # Hit position (world + object space) and barycentrics
+        # (:228-234).
+        o_loc = transform_point(world_inv, origin)
+        d_loc = transform_dir(world_inv, direction)
+        pos_w = origin + t[:, None] * direction
+        pos_loc = o_loc + t[:, None] * d_loc
+        vbase = 3 * safe_tri
+        v0 = jnp.take(scene.vtx_pos, vbase, axis=0)
+        v1 = jnp.take(scene.vtx_pos, vbase + 1, axis=0)
+        v2 = jnp.take(scene.vtx_pos, vbase + 2, axis=0)
+        bary = barycentric(pos_loc, v0, v1, v2)
+        uv0 = jnp.take(scene.vtx_uv, vbase, axis=0)
+        uv1 = jnp.take(scene.vtx_uv, vbase + 1, axis=0)
+        uv2 = jnp.take(scene.vtx_uv, vbase + 2, axis=0)
+        uv = (bary[:, 0:1] * uv0 + bary[:, 1:2] * uv1 + bary[:, 2:3] * uv2)
+
+        roughness = jnp.maximum(mrti[:, 1], 0.001)
+        metallic = mrti[:, 0]
+        transmission = mrti[:, 2]
+        ior = mrti[:, 3]
+
+        # Texture taps (:244-261); statically elided for untextured
+        # scenes (cornell/outside).
+        if scene.has_textures:
+            tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+            def tap(slot):
+                tid = tex[:, slot]
+                s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
+                return (tid >= 0), s
+            has_c, c = tap(0)
+            base_color = jnp.where(has_c[:, None], base_color * c, base_color)
+            has_e, e = tap(1)
+            emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
+            has_mr, mr = tap(2)
+            metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+            roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
+            has_t, tt = tap(3)
+            transmission = jnp.where(has_t, transmission * tt[:, 0],
+                                     transmission)
+
+        base_color = srgb_to_linear(base_color)
+
+        lobe, seed = bsdf.determine_interaction(metallic, transmission,
+                                                seed, alive)
+        acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
+
+        # Shading normal: mat3(world) @ interpolated normal, normalized
+        # (:272; no inverse-transpose — reference behavior).
+        n0 = jnp.take(scene.vtx_nrm, vbase, axis=0)
+        n1 = jnp.take(scene.vtx_nrm, vbase + 1, axis=0)
+        n2 = jnp.take(scene.vtx_nrm, vbase + 2, axis=0)
+        n_loc = bary[:, 0:1] * n0 + bary[:, 1:2] * n1 + bary[:, 2:3] * n2
+        n = transform_dir(world, n_loc)
+        n = n / jnp.sqrt(jnp.maximum(
+            jnp.sum(n * n, axis=-1, keepdims=True), 1e-38))
+        ndotd = jnp.sum(n * direction, axis=-1)
+        ff = jnp.where((ndotd < 0.0)[:, None], n, -n)
+
+        def tangent_basis(ffn):
+            pick_y = jnp.abs(ffn[:, 0]) > 0.1
+            axis = jnp.where(pick_y[:, None],
+                             jnp.array([0.0, 1.0, 0.0]),
+                             jnp.array([1.0, 0.0, 0.0]))
+            u = jnp.cross(axis, ffn)
+            u = u / jnp.sqrt(jnp.maximum(
+                jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
+            v = jnp.cross(ffn, u)
+            return u, v
+
+        u, v = tangent_basis(ff)
+
+        if scene.has_textures:
+            tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+            has_n, nmap = tap(4)
+            tn = nmap[:, :3] * 2.0 - 1.0
+            tn = tn / jnp.sqrt(jnp.maximum(
+                jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
+            ff_mapped = (tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff)
+            ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
+                jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True), 1e-38))
+            ff = jnp.where(has_n[:, None], ff_mapped, ff)
+            u2, v2 = tangent_basis(ff)
+            u = jnp.where(has_n[:, None], u2, u)
+            v = jnp.where(has_n[:, None], v2, v)
+
+        view = jnp.stack([
+            jnp.sum(-direction * u, axis=-1),
+            jnp.sum(-direction * v, axis=-1),
+            jnp.sum(-direction * ff, axis=-1)], -1)
+        outside = jnp.sum(n * -direction, axis=-1) > 0.0
+
+        if cfg.use_microfacet:
+            weight, ldir_t, seed = bsdf.heitz_sample(
+                base_color[:, :3], view, roughness, transmission, ior,
+                outside, lobe, seed, alive, max_order=cfg.heitz_max_order)
+        else:
+            weight, ldir_t, seed = bsdf.basic_sample(
+                base_color[:, :3], view, transmission, ior,
+                outside, lobe, seed, alive)
+
+        mask = jnp.where(alive[:, None], mask * weight, mask)
+        ldir_w = (ldir_t[:, 0:1] * u + ldir_t[:, 1:2] * v
+                  + ldir_t[:, 2:3] * ff)
+        origin = jnp.where(alive[:, None], pos_w, origin)
+        direction = jnp.where(alive[:, None], ldir_w, direction)
+
+        # Russian roulette (:317-323).
+        q = jnp.max(mask, axis=-1)
+        rr = alive & (q < cfg.rr_threshold) & (bounce > cfg.rr_bounces)
+        r_rr, seed = rand_parity_masked(seed, rr)
+        kill = rr & (r_rr > q)
+        alive = alive & ~kill
+        boost = rr & ~kill
+        mask = jnp.where(boost[:, None], mask / q[:, None], mask)
+
+        return origin, direction, acc, mask, alive, seed
+
+    state = (origin, direction, acc, mask, alive, seed)
+    state = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, state)
+    _, _, acc, _, _, seed = state
+    return acc, seed
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed):
+    """One full-frame sample: [H, W, 3] radiance (pre-accumulation).
+
+    cam_world: [4, 4]; ubo_seed: [2] uint32 (host-drawn per sample,
+    src/RendererPT.cpp:584-585).
+    """
+    h, w = cfg.render_height, cfg.render_width
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(ubo_seed, pixel_xy)
+    origin, direction, seed = generate_ray(
+        cam_world, fov_y, pixel_xy, (w, h), seed)
+    radiance, _ = trace_rays(scene, cfg, origin, direction, seed)
+    return radiance.reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def accumulate_sample(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
+                      accum, reset):
+    """Progressive step: render one sample and accumulate-or-reset
+    (path_tracing.comp:346-351; the accumulation buffer is donated, the
+    TPU analog of the persistent RGBA32F image)."""
+    sample = render_sample.__wrapped__(scene, cfg, cam_world, fov_y, ubo_seed)
+    return jnp.where(reset, sample, accum + sample)

@@ -191,6 +191,9 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         num_objects=num_objects,
         num_triangles=vtx_pos.shape[0] // 3,
         max_stack=max_stack,
+        leaf_width=int((fused_meta[fused_meta[:, 0] == 1][:, 2]
+                        - fused_meta[fused_meta[:, 0] == 1][:, 1]).max()),
+        has_textures=bool(gltf.textures),
         cameras=cameras,
         name=gltf.name,
     )

@@ -83,6 +83,8 @@ class SceneSoA:
     num_objects: int = 0
     num_triangles: int = 0
     max_stack: int = 16
+    leaf_width: int = 4   # max triangles per leaf (static unroll width)
+    has_textures: bool = False
     cameras: tuple = ()
     name: str = ""
 
@@ -96,7 +98,7 @@ class SceneSoA:
         "tex_atlas", "tex_table",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
-                      "cameras", "name")
+                      "leaf_width", "has_textures", "cameras", "name")
 
 
 def _soa_flatten(s: SceneSoA):

@@ -7,11 +7,16 @@ kernel has a CPU-runnable path (the reference's 'lavapipe analog').
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon sitecustomize pins JAX_PLATFORMS=axon (the real TPU
+# tunnel); jax.config.update is the reliable way to force CPU here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
