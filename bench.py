@@ -1,0 +1,87 @@
+"""Benchmark harness.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: Mrays/sec/chip on cornell_box (the BASELINE.json
+north star, target >= 100).  vs_baseline = value / 100.  Also reports
+samples/sec at the benchmark resolution in the extras field (the only
+quantity the reference itself measures, src/RendererPT.cpp:599-605).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+NORTH_STAR_MRAYS = 100.0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small config for smoke testing")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--samples", type=int, default=None,
+                    help="timed samples")
+    ap.add_argument("--scene", default="/root/reference/resources/cornell_box.gltf")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    width = args.width or (128 if args.quick else 1024)
+    height = args.height or (128 if args.quick else 1024)
+    samples = args.samples or (2 if args.quick else 16)
+
+    import jax
+
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.gltf import load_gltf
+
+    cfg = RenderConfig(width=width, height=height, max_depth=10)
+    t0 = time.perf_counter()
+    scene = compile_scene(load_gltf(args.scene), cfg)
+    compile_s = time.perf_counter() - t0
+
+    r = ProgressiveRenderer(scene, cfg, host_seed=0)
+    # Warmup: XLA compile + first sample (not timed).
+    t0 = time.perf_counter()
+    r.step(1)
+    warmup_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    r.step(samples)
+    wall = time.perf_counter() - t0
+    rays_per_sample = r.total_rays / r.sample_count
+    mrays = rays_per_sample * samples / wall / 1e6
+    spp_per_sec = samples / wall
+
+    result = {
+        "metric": "mrays_per_sec_chip_cornell",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "extras": {
+            "device": str(jax.devices()[0]),
+            "resolution": f"{width}x{height}",
+            "spp_timed": samples,
+            "samples_per_sec": round(spp_per_sec, 4),
+            "rays_per_sample": round(rays_per_sample, 1),
+            "scene_compile_s": round(compile_s, 2),
+            "xla_warmup_s": round(warmup_s, 2),
+            "mean_radiance": round(float(r.radiance().mean()), 5),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

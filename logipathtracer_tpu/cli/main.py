@@ -1,0 +1,191 @@
+"""Command-line entry points.
+
+Replaces the reference's hardcoded main() (src/Main.cpp: compile-time
+backend switch, hardcoded scene path and window size — SURVEY.md §5.6)
+with a real flag surface:
+
+  render  — headless progressive render to PNG (+ radiance .npz)
+  view    — interactive progressive viewer in the terminal (ANSI
+            half-blocks) with the reference's key bindings
+            (src/Main.cpp:57-93): WASD/QE translate, IJKL/UO rotate;
+            camera motion resets accumulation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.film.image import to_uint8
+from logipathtracer_tpu.film.png import write_png
+from logipathtracer_tpu.scene.compile import compile_scene
+from logipathtracer_tpu.scene.gltf import load_gltf
+from logipathtracer_tpu.utils.log import get_logger
+
+log = get_logger("cli")
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("scene", help="path to .gltf/.glb scene")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--render-scale", type=int, default=1)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--max-depth", type=int, default=10)
+    p.add_argument("--basic", action="store_true",
+                   help="basic single-scatter BSDFs instead of Heitz")
+    p.add_argument("--seed", type=int, default=0, help="host RNG seed")
+    p.add_argument("--camera", type=int, default=0, help="camera index")
+    p.add_argument("--leaf-size", type=int, default=4)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _build(args):
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       render_scale=args.render_scale,
+                       max_depth=args.max_depth,
+                       use_microfacet=not args.basic,
+                       bvh_leaf_size=args.leaf_size)
+    log.info("loading %s", args.scene)
+    gltf = load_gltf(args.scene)
+    log.info("compiling scene: %d nodes, %d triangles",
+             len(gltf.mesh_nodes), gltf.triangle_count)
+    t0 = time.perf_counter()
+    scene = compile_scene(gltf, cfg)
+    log.info("scene compiled in %.2fs: %d objects, %d fused BVH nodes, "
+             "stack %d", time.perf_counter() - t0, scene.num_objects,
+             scene.fused_min.shape[0], scene.max_stack)
+    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+    cam = scene.cameras[args.camera] if scene.cameras else None
+    return cfg, scene, ProgressiveRenderer(scene, cfg, camera=cam,
+                                           host_seed=args.seed)
+
+
+def cmd_render(args) -> int:
+    cfg, scene, r = _build(args)
+    if args.resume and os.path.exists(args.resume):
+        r.restore(args.resume)
+        log.info("resumed from %s at %d samples", args.resume,
+                 r.sample_count)
+    t0 = time.perf_counter()
+    while r.sample_count < args.spp:
+        batch = min(args.checkpoint_every or args.spp,
+                    args.spp - r.sample_count)
+        r.step(batch)
+        if args.resume:
+            r.checkpoint(args.resume)
+        log.info("%d/%d samples  %.2f samples/s  %.2f Mrays/s",
+                 r.sample_count, args.spp, r.samples_per_sec(),
+                 r.mrays_per_sec())
+    wall = time.perf_counter() - t0
+    img = to_uint8(np.asarray(r.image()))
+    write_png(args.output, img)
+    log.info("wrote %s", args.output)
+    if args.radiance:
+        np.savez(args.radiance, radiance=r.radiance(),
+                 sample_count=r.sample_count)
+        log.info("wrote %s", args.radiance)
+    report = {
+        "scene": scene.name, "width": cfg.render_width,
+        "height": cfg.render_height, "spp": r.sample_count,
+        "wall_s": round(wall, 3),
+        "samples_per_sec": round(r.samples_per_sec(), 4),
+        "mrays_per_sec": round(r.mrays_per_sec(), 3),
+        "total_rays": r.total_rays,
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def _ansi_frame(img: np.ndarray) -> str:
+    """Render [H, W, 3] float image as ANSI 24-bit half-blocks."""
+    u8 = to_uint8(img)
+    h = u8.shape[0] // 2 * 2
+    rows = []
+    for y in range(0, h, 2):
+        row = []
+        for x in range(u8.shape[1]):
+            t = u8[y, x]
+            b = u8[y + 1, x]
+            row.append(f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                       f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀")
+        rows.append("".join(row) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+def cmd_view(args) -> int:
+    cfg, scene, r = _build(args)
+    import select
+    import termios
+    import tty
+
+    move = 0.05
+    turn = 0.02
+    keymap_t = {"w": (2, -move), "s": (2, move), "a": (0, -move),
+                "d": (0, move), "q": (1, move), "e": (1, -move)}
+    keymap_r = {"i": (0, turn), "k": (0, -turn), "j": (1, turn),
+                "l": (1, -turn), "u": (2, turn), "o": (2, -turn)}
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        sys.stdout.write("\x1b[2J")
+        while True:
+            r.step(1)
+            frame = _ansi_frame(np.asarray(r.image()))
+            sys.stdout.write("\x1b[H" + frame
+                             + f"\n\x1b[0mspp {r.sample_count}  "
+                             f"{r.samples_per_sec():.2f} samples/s  "
+                             f"{r.mrays_per_sec():.1f} Mrays/s  "
+                             "[wasdqe move, ijkl/uo rotate, x quit]\n")
+            sys.stdout.flush()
+            while select.select([sys.stdin], [], [], 0)[0]:
+                key = sys.stdin.read(1)
+                if key == "x":
+                    return 0
+                if key in keymap_t:
+                    r.translate(*keymap_t[key])
+                if key in keymap_r:
+                    r.rotate(*keymap_r[key])
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        sys.stdout.write("\x1b[0m\n")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="logipathtracer-tpu",
+        description="TPU-native progressive Monte Carlo path tracer")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="headless render to PNG")
+    _add_common(pr)
+    pr.add_argument("-o", "--output", default="render.png")
+    pr.add_argument("--radiance", default=None,
+                    help="also write mean radiance .npz (RMSE metric input)")
+    pr.add_argument("--resume", default=None,
+                    help="checkpoint file to resume from / save to")
+    pr.add_argument("--checkpoint-every", type=int, default=None,
+                    help="samples between checkpoints")
+    pr.set_defaults(fn=cmd_render)
+
+    pv = sub.add_parser("view", help="interactive terminal viewer")
+    _add_common(pv)
+    pv.set_defaults(fn=cmd_view)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,8 +52,11 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
     mask = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
 
+    rays_traced = jnp.zeros((), jnp.float32)
+
     def bounce_body(bounce, state):
-        origin, direction, acc, mask, alive, seed = state
+        origin, direction, acc, mask, alive, seed, rays_traced = state
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
         miss = alive & (t >= INF)
         # Reference assigns (not adds) mask*env on miss (:220-223).
@@ -184,12 +187,35 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
         boost = rr & ~kill
         mask = jnp.where(boost[:, None], mask / q[:, None], mask)
 
-        return origin, direction, acc, mask, alive, seed
+        return origin, direction, acc, mask, alive, seed, rays_traced
 
-    state = (origin, direction, acc, mask, alive, seed)
+    state = (origin, direction, acc, mask, alive, seed, rays_traced)
     state = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, state)
-    _, _, acc, _, _, seed = state
-    return acc, seed
+    _, _, acc, _, _, seed, rays_traced = state
+    return acc, seed, rays_traced
+
+
+def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
+                y0, rows: int):
+    """Render a horizontal slab of ``rows`` image rows starting at
+    absolute row ``y0`` (traced).  Pixel RNG streams are keyed by
+    absolute coordinates, so any tiling of the image produces exactly
+    the full-frame pixels — the invariant the tile-parallel sharding
+    relies on.
+
+    Returns (radiance [rows, W, 3], rays_traced scalar).
+    """
+    w = cfg.render_width
+    h = cfg.render_height
+    ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ys = ys + y0.astype(jnp.float32)
+    pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(ubo_seed, pixel_xy)
+    origin, direction, seed = generate_ray(
+        cam_world, fov_y, pixel_xy, (w, h), seed)
+    radiance, _, rays = trace_rays(scene, cfg, origin, direction, seed)
+    return radiance.reshape(rows, w, 3), rays
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -199,15 +225,9 @@ def render_sample(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed):
     cam_world: [4, 4]; ubo_seed: [2] uint32 (host-drawn per sample,
     src/RendererPT.cpp:584-585).
     """
-    h, w = cfg.render_height, cfg.render_width
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
-    seed = seed_from_pixel(ubo_seed, pixel_xy)
-    origin, direction, seed = generate_ray(
-        cam_world, fov_y, pixel_xy, (w, h), seed)
-    radiance, _ = trace_rays(scene, cfg, origin, direction, seed)
-    return radiance.reshape(h, w, 3)
+    img, _ = render_rows(scene, cfg, cam_world, fov_y, ubo_seed,
+                         jnp.int32(0), cfg.render_height)
+    return img
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
@@ -215,6 +235,17 @@ def accumulate_sample(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
                       accum, reset):
     """Progressive step: render one sample and accumulate-or-reset
     (path_tracing.comp:346-351; the accumulation buffer is donated, the
-    TPU analog of the persistent RGBA32F image)."""
-    sample = render_sample.__wrapped__(scene, cfg, cam_world, fov_y, ubo_seed)
-    return jnp.where(reset, sample, accum + sample)
+    TPU analog of the persistent RGBA32F image).
+
+    Returns (accum', rays_traced) — exact ray count for Mrays/sec.
+    """
+    h, w = cfg.render_height, cfg.render_width
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(ubo_seed, pixel_xy)
+    origin, direction, seed = generate_ray(
+        cam_world, fov_y, pixel_xy, (w, h), seed)
+    radiance, _, rays = trace_rays(scene, cfg, origin, direction, seed)
+    sample = radiance.reshape(h, w, 3)
+    return jnp.where(reset, sample, accum + sample), rays

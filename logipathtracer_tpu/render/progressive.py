@@ -1,0 +1,178 @@
+"""Progressive render session.
+
+The host-side runtime that replaces RendererPT/RendererRTX +
+RendererCore's frame loop (src/RendererPT.cpp:574-612,
+src/RendererCore.cpp:373-412): it owns the accumulation state, the
+camera-dirty/reset protocol (src/RendererPT.cpp:575-581), per-sample
+host seeds (:584-585), sample counting and throughput logging
+(:594-607), and adds what the reference lacks (SURVEY.md §5.4):
+checkpoint/resume of the accumulator to disk.
+
+Camera motion helpers mirror the reference's key bindings
+(src/Main.cpp:57-93): WASD/QE translate, IJKL/UO rotate, applied to the
+camera node's local transform.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.film.image import tonemap
+from logipathtracer_tpu.render.megakernel import accumulate_sample
+from logipathtracer_tpu.scene.types import CameraState, SceneSoA
+from logipathtracer_tpu.utils.log import get_logger
+
+log = get_logger("progressive")
+
+
+def _rot(axis: int, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(4, dtype=np.float32)
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    m[i, i] = c
+    m[j, j] = c
+    if axis == 1:
+        m[i, j] = s
+        m[j, i] = -s
+    else:
+        m[i, j] = -s
+        m[j, i] = s
+    return m
+
+
+class ProgressiveRenderer:
+    """Accumulating progressive renderer with the reference's
+    accumulate/reset protocol."""
+
+    def __init__(self, scene: SceneSoA, config: RenderConfig,
+                 camera: CameraState | None = None, host_seed: int = 0,
+                 accumulate_fn=None):
+        if camera is None:
+            if not scene.cameras:
+                raise ValueError(
+                    "scene has no camera; pass camera= explicitly "
+                    "(reference errors the same way, "
+                    "src/RendererRTX.cpp:53-55)")
+            camera = scene.cameras[0]
+        self.scene = scene
+        self.config = config
+        self.camera_world = np.asarray(camera.world_matrix, np.float32).copy()
+        self.fov_y = float(camera.yfov)
+        self._accumulate = accumulate_fn or accumulate_sample
+        self._host_rng = np.random.default_rng(host_seed)
+        h, w = config.render_height, config.render_width
+        self.accum = jnp.zeros((h, w, 3), jnp.float32)
+        self.sample_count = 0
+        self.total_rays = 0.0
+        self._dirty = True
+        self._session_samples = 0   # rendered since last reset/restore
+        self._session_rays = 0.0
+        self._elapsed = 0.0
+
+    # -- camera (src/Main.cpp:57-93 semantics) -------------------------
+
+    def set_camera(self, world_matrix, fov_y: float | None = None):
+        self.camera_world = np.asarray(world_matrix, np.float32).copy()
+        if fov_y is not None:
+            self.fov_y = float(fov_y)
+        self._dirty = True
+
+    def translate(self, axis: int, amount: float):
+        """Translate along a local camera axis (lsg translateX/Y/Z)."""
+        delta = np.zeros(3, np.float32)
+        delta[axis] = amount
+        self.camera_world[:3, 3] += self.camera_world[:3, :3] @ delta
+        self._dirty = True
+
+    def rotate(self, axis: int, angle: float):
+        """Rotate about a local camera axis (lsg rotateX/Y/Z)."""
+        self.camera_world = (self.camera_world @ _rot(axis, angle)).astype(
+            np.float32)
+        self._dirty = True
+
+    # -- progressive stepping ------------------------------------------
+
+    def step(self, samples: int = 1):
+        """Render ``samples`` more samples into the accumulator."""
+        cam = jnp.asarray(self.camera_world)
+        fov = jnp.float32(self.fov_y)
+        for _ in range(samples):
+            if self._dirty:
+                # Reset protocol (src/RendererPT.cpp:575-581).
+                self.sample_count = 0
+                self.total_rays = 0.0
+                self._session_samples = 0
+                self._session_rays = 0.0
+                self._elapsed = 0.0
+            seed = jnp.asarray(
+                self._host_rng.integers(1, 2 ** 31, 2, dtype=np.int64),
+                jnp.uint32)
+            t0 = time.perf_counter()
+            self.accum, rays = self._accumulate(
+                self.scene, self.config, cam, fov, seed, self.accum,
+                jnp.asarray(self._dirty))
+            jax.block_until_ready(self.accum)
+            self._elapsed += time.perf_counter() - t0
+            self.sample_count += 1
+            self._session_samples += 1
+            self.total_rays += float(rays)
+            self._session_rays += float(rays)
+            self._dirty = False
+            if self.sample_count % 10 == 0:
+                log.info("samples: %d", self.sample_count)
+            if self.sample_count % 100 == 0:
+                log.info("samples/s: %.3f  Mrays/s: %.2f",
+                         self.samples_per_sec(), self.mrays_per_sec())
+        return self
+
+    def samples_per_sec(self) -> float:
+        return self._session_samples / max(self._elapsed, 1e-9)
+
+    def mrays_per_sec(self) -> float:
+        return self._session_rays / max(self._elapsed, 1e-9) / 1e6
+
+    # -- output ---------------------------------------------------------
+
+    def image(self) -> jnp.ndarray:
+        """Tonemapped display image (tex_to_quad.frag transform)."""
+        return tonemap(self.accum, max(self.sample_count, 1),
+                       exposure=self.config.exposure,
+                       gamma=self.config.gamma)
+
+    def radiance(self) -> np.ndarray:
+        """Mean radiance (pre-tonemap; the RMSE-metric quantity)."""
+        return np.asarray(self.accum) / max(self.sample_count, 1)
+
+    # -- checkpoint / resume (SURVEY.md §5.4) ----------------------------
+
+    def checkpoint(self, path: str):
+        st = self._host_rng.bit_generator.state["state"]
+        np.savez(path, accum=np.asarray(self.accum),
+                 sample_count=self.sample_count,
+                 total_rays=self.total_rays,
+                 camera_world=self.camera_world, fov_y=self.fov_y,
+                 # PCG64 state words are 128-bit ints: store as strings.
+                 rng_state=np.str_(str(st["state"])),
+                 rng_inc=np.str_(str(st["inc"])))
+
+    def restore(self, path: str):
+        data = np.load(path)
+        self.accum = jnp.asarray(data["accum"])
+        self.sample_count = int(data["sample_count"])
+        self.total_rays = float(data["total_rays"])
+        self.camera_world = data["camera_world"].astype(np.float32)
+        self.fov_y = float(data["fov_y"])
+        st = self._host_rng.bit_generator.state
+        st["state"]["state"] = int(str(data["rng_state"]))
+        st["state"]["inc"] = int(str(data["rng_inc"]))
+        self._host_rng.bit_generator.state = st
+        self._dirty = False
+        self._session_samples = 0
+        self._session_rays = 0.0
+        self._elapsed = 0.0
+        return self
