@@ -45,10 +45,13 @@ class RenderConfig:
     # BVH build knobs (ours; the reference delegates to lsg's SBVH).
     bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf
     bvh_bins: int = 16            # SAH bins
+    cluster_size: int = 128       # triangles per sweep cluster (lane dim)
 
     # Execution.
     ray_batch: int = 1 << 16      # wavefront batch size (rays per step)
-    use_pallas: bool = True       # Pallas kernels where available
+    intersect: str = "auto"       # auto | sweep (Pallas) | sweep_jnp |
+                                  # sweep_interpret | bvh (while-loop walk)
+    sweep_tile: int = 1024        # rays per Pallas sweep tile
     parity_rng: bool = True       # bit-faithful LCG-hash RNG
                                   # (shaders/common/random.glsl:9-15)
 

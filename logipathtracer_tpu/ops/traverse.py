@@ -138,6 +138,32 @@ def _padded_inverses(scene):
     return jnp.concatenate([ident, inv], axis=0)
 
 
+def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
+                          tile: int = 1024, backend: str = "pallas"):
+    """Closest hit via the gather-free cluster sweep
+    (ops/pallas/cluster_intersect.py).  Same contract as
+    intersect_scene: returns (t, obj, tri)."""
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import (
+        cluster_intersect_jnp, cluster_intersect_pallas)
+
+    r = origin.shape[0]
+    rp = ((r + tile - 1) // tile) * tile
+    rays8 = jnp.zeros((8, rp), jnp.float32)
+    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
+    rays8 = rays8.at[0:3, :r].set(origin.T)
+    rays8 = rays8.at[3:6, :r].set(direction.T)
+    inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
+    if backend == "jnp":
+        t, tri, obj = cluster_intersect_jnp(
+            scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris, rays8,
+            eps=eps)
+    else:
+        t, tri, obj = cluster_intersect_pallas(
+            scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris, rays8,
+            tile=tile, eps=eps, interpret=(backend == "interpret"))
+    return t[:r], obj[:r], tri[:r]
+
+
 def intersect_bruteforce(scene, origin, direction, eps: float = 1e-4,
                          chunk: int = 4096):
     """Oracle: test every triangle of every object (no BVH).

@@ -36,7 +36,30 @@ from logipathtracer_tpu.ops.intersect import (INF, barycentric,
                                               transform_dir, transform_point)
 from logipathtracer_tpu.ops.rng import rand_parity_masked, seed_from_pixel
 from logipathtracer_tpu.ops.texture import sample_atlas
-from logipathtracer_tpu.ops.traverse import intersect_scene
+from logipathtracer_tpu.ops.traverse import (intersect_scene,
+                                             intersect_scene_sweep)
+
+
+def pick_intersect(cfg: RenderConfig):
+    """Select the intersection backend (static per config).
+
+    'auto' uses the Pallas cluster sweep on TPU and the while-loop BVH
+    walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4)."""
+    mode = cfg.intersect
+    if mode == "auto":
+        mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
+    if mode == "bvh":
+        return intersect_scene
+    if mode == "sweep":
+        return lambda s, o, d, eps: intersect_scene_sweep(
+            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas")
+    if mode == "sweep_interpret":
+        return lambda s, o, d, eps: intersect_scene_sweep(
+            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret")
+    if mode == "sweep_jnp":
+        return lambda s, o, d, eps: intersect_scene_sweep(
+            s, o, d, eps=eps, backend="jnp")
+    raise ValueError(f"unknown intersect mode {mode!r}")
 
 
 def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
@@ -46,7 +69,7 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
 
     Returns (radiance [R, 3], seed').
     """
-    isect = intersect_fn or intersect_scene
+    isect = intersect_fn or pick_intersect(cfg)
     r = origin.shape[0]
     acc = jnp.zeros((r, 3), jnp.float32)
     mask = jnp.ones((r, 3), jnp.float32)
@@ -66,27 +89,29 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
         safe_obj = jnp.maximum(obj, 0)
         safe_tri = jnp.maximum(tri, 0)
 
-        world = jnp.take(scene.obj_world, safe_obj, axis=0)
-        world_inv = jnp.take(scene.obj_world_inv, safe_obj, axis=0)
-        base_color = jnp.take(scene.obj_base_color, safe_obj, axis=0)
-        emission = jnp.take(scene.obj_emission, safe_obj, axis=0)
-        mrti = jnp.take(scene.obj_mrti, safe_obj, axis=0)
+        # Two wide-row gathers cover all shading inputs
+        # (scene/types.py tri_shade/obj_shade layouts).
+        oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
+        tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
+        world3 = oshade[:, 0:9].reshape(-1, 3, 3)
+        inv34 = oshade[:, 9:21].reshape(-1, 3, 4)
+        base_color = oshade[:, 21:25]
+        emission = oshade[:, 25:28]
+        mrti = oshade[:, 28:32]
 
         # Hit position (world + object space) and barycentrics
         # (:228-234).
-        o_loc = transform_point(world_inv, origin)
-        d_loc = transform_dir(world_inv, direction)
+        o_loc = transform_point(inv34, origin)
+        d_loc = transform_dir(inv34, direction)
         pos_w = origin + t[:, None] * direction
         pos_loc = o_loc + t[:, None] * d_loc
-        vbase = 3 * safe_tri
-        v0 = jnp.take(scene.vtx_pos, vbase, axis=0)
-        v1 = jnp.take(scene.vtx_pos, vbase + 1, axis=0)
-        v2 = jnp.take(scene.vtx_pos, vbase + 2, axis=0)
+        v0 = tshade[:, 15:18]
+        v1 = tshade[:, 18:21]
+        v2 = tshade[:, 21:24]
         bary = barycentric(pos_loc, v0, v1, v2)
-        uv0 = jnp.take(scene.vtx_uv, vbase, axis=0)
-        uv1 = jnp.take(scene.vtx_uv, vbase + 1, axis=0)
-        uv2 = jnp.take(scene.vtx_uv, vbase + 2, axis=0)
-        uv = (bary[:, 0:1] * uv0 + bary[:, 1:2] * uv1 + bary[:, 2:3] * uv2)
+        uv = (bary[:, 0:1] * tshade[:, 9:11]
+              + bary[:, 1:2] * tshade[:, 11:13]
+              + bary[:, 2:3] * tshade[:, 13:15])
 
         roughness = jnp.maximum(mrti[:, 1], 0.001)
         metallic = mrti[:, 0]
@@ -120,11 +145,10 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
 
         # Shading normal: mat3(world) @ interpolated normal, normalized
         # (:272; no inverse-transpose — reference behavior).
-        n0 = jnp.take(scene.vtx_nrm, vbase, axis=0)
-        n1 = jnp.take(scene.vtx_nrm, vbase + 1, axis=0)
-        n2 = jnp.take(scene.vtx_nrm, vbase + 2, axis=0)
-        n_loc = bary[:, 0:1] * n0 + bary[:, 1:2] * n1 + bary[:, 2:3] * n2
-        n = transform_dir(world, n_loc)
+        n_loc = (bary[:, 0:1] * tshade[:, 0:3]
+                 + bary[:, 1:2] * tshade[:, 3:6]
+                 + bary[:, 2:3] * tshade[:, 6:9])
+        n = transform_dir(world3, n_loc)
         n = n / jnp.sqrt(jnp.maximum(
             jnp.sum(n * n, axis=-1, keepdims=True), 1e-38))
         ndotd = jnp.sum(n * direction, axis=-1)
@@ -195,6 +219,20 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
     return acc, seed, rays_traced
 
 
+def _block_shape(cfg: RenderConfig, rows: int, w: int):
+    """Pixel-block shape so one sweep tile = one compact 2-D block.
+
+    Compact blocks make the rays in a tile spatially coherent, which is
+    what the cluster sweep's tile-level culling feeds on (a 32x16 block
+    touches ~3x fewer clusters than a 512-wide scanline strip).
+    """
+    bw = 32
+    bh = cfg.sweep_tile // bw
+    if rows % bh == 0 and w % bw == 0 and bh > 0:
+        return bh, bw
+    return None
+
+
 def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
                 y0, rows: int):
     """Render a horizontal slab of ``rows`` image rows starting at
@@ -203,6 +241,10 @@ def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
     the full-frame pixels — the invariant the tile-parallel sharding
     relies on.
 
+    Rays are traced in block-major order (one sweep tile = one compact
+    pixel block) and the radiance is un-permuted by a pure
+    reshape/transpose at the end.
+
     Returns (radiance [rows, W, 3], rays_traced scalar).
     """
     w = cfg.render_width
@@ -210,11 +252,26 @@ def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
     ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     ys = ys + y0.astype(jnp.float32)
-    pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
+
+    blk = _block_shape(cfg, rows, w)
+    if blk is not None:
+        bh, bw = blk
+        def to_blocks(a):
+            return a.reshape(rows // bh, bh, w // bw, bw).transpose(
+                0, 2, 1, 3).reshape(-1)
+        pixel_xy = jnp.stack([to_blocks(xs), to_blocks(ys)], -1)
+    else:
+        pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
+
     seed = seed_from_pixel(ubo_seed, pixel_xy)
     origin, direction, seed = generate_ray(
         cam_world, fov_y, pixel_xy, (w, h), seed)
     radiance, _, rays = trace_rays(scene, cfg, origin, direction, seed)
+
+    if blk is not None:
+        bh, bw = blk
+        radiance = radiance.reshape(rows // bh, w // bw, bh, bw, 3
+                                    ).transpose(0, 2, 1, 3, 4)
     return radiance.reshape(rows, w, 3), rays
 
 

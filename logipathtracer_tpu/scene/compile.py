@@ -161,6 +161,39 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     tex_atlas, tex_table = _pack_textures(gltf)
 
+    # Clustered sweep arrays (built from a lightweight stand-in SoA view
+    # so clusters.py can run before the SceneSoA exists).
+    from logipathtracer_tpu.scene.clusters import build_clusters
+
+    class _View:
+        pass
+
+    view = _View()
+    view.mesh_bvh_meta = mesh_bvh_meta
+    view.mesh_bvh_min = mesh_bvh_min
+    view.mesh_bvh_max = mesh_bvh_max
+    view.obj_bvh_offset = obj_bvh_offset
+    view.obj_vtx_offset = obj_vtx_offset
+    view.vtx_pos = vtx_pos
+    view.obj_world_inv = obj_world_inv
+    view.num_objects = num_objects
+    clustered = build_clusters(view, cluster_size=cfg.cluster_size)
+    cl_meta = np.stack([clustered.cl_obj, clustered.cl_tri_base],
+                       axis=1).astype(np.int32)
+
+    # Packed per-triangle / per-object shade rows (scene/types.py).
+    t_count = vtx_pos.shape[0] // 3
+    tri_shade = np.zeros((t_count, 32), np.float32)
+    tri_shade[:, 0:9] = vtx_nrm.reshape(t_count, 9)
+    tri_shade[:, 9:15] = vtx_uv.reshape(t_count, 6)
+    tri_shade[:, 15:24] = vtx_pos.reshape(t_count, 9)
+    obj_shade = np.zeros((num_objects, 32), np.float32)
+    obj_shade[:, 0:9] = obj_world[:, :3, :3].reshape(num_objects, 9)
+    obj_shade[:, 9:21] = obj_world_inv[:, :3, :4].reshape(num_objects, 12)
+    obj_shade[:, 21:25] = obj_base_color
+    obj_shade[:, 25:28] = obj_emission
+    obj_shade[:, 28:32] = obj_mrti
+
     cameras = tuple(
         CameraState(world_matrix=c.world_matrix, yfov=c.yfov, name=c.name)
         for c in gltf.cameras)
@@ -188,9 +221,15 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         fused_meta=fused_meta,
         tex_atlas=tex_atlas,
         tex_table=tex_table,
+        cl_meta=cl_meta,
+        cl_aabb=clustered.cl_aabb,
+        cl_tris=clustered.cl_tris,
+        tri_shade=tri_shade,
+        obj_shade=obj_shade,
         num_objects=num_objects,
         num_triangles=vtx_pos.shape[0] // 3,
         max_stack=max_stack,
+        cluster_size=cfg.cluster_size,
         leaf_width=int((fused_meta[fused_meta[:, 0] == 1][:, 2]
                         - fused_meta[fused_meta[:, 0] == 1][:, 1]).max()),
         has_textures=bool(gltf.textures),

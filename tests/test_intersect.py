@@ -125,9 +125,9 @@ def _assert_hits_equal(tb, ob, rb, tt, ot, rt):
     tb, tt = np.asarray(tb), np.asarray(tt)
     ob, ot = np.asarray(ob), np.asarray(ot)
     rb, rt = np.asarray(rb), np.asarray(rt)
-    np.testing.assert_allclose(tb, tt, rtol=2e-6)
+    np.testing.assert_allclose(tb, tt, rtol=1e-5, atol=1e-7)
     diff = (rb != rt) | (ob != ot)
-    ties = np.abs(tb - tt) <= 2e-6 * np.abs(tb)
+    ties = np.abs(tb - tt) <= 1e-5 * np.abs(tb) + 1e-7
     assert (ties | ~diff).all(), "primitive mismatch without a t tie"
 
 
