@@ -48,10 +48,15 @@ class RenderConfig:
     cluster_size: int = 128       # triangles per sweep cluster (lane dim)
 
     # Execution.
-    ray_batch: int = 1 << 16      # wavefront batch size (rays per step)
+    renderer: str = "auto"        # auto | megakernel | wavefront
+                                  # (auto: wavefront on TPU, megakernel
+                                  #  elsewhere)
+    pool_size: int = 1 << 20      # wavefront ray-pool lanes
     intersect: str = "auto"       # auto | sweep (Pallas) | sweep_jnp |
                                   # sweep_interpret | bvh (while-loop walk)
     sweep_tile: int = 1024        # rays per Pallas sweep tile
+    sort_rays: bool = True        # octant+Morton sort before each
+                                  # intersect (coherence for the sweep)
     parity_rng: bool = True       # bit-faithful LCG-hash RNG
                                   # (shaders/common/random.glsl:9-15)
 

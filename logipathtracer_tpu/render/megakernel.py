@@ -62,14 +62,205 @@ def pick_intersect(cfg: RenderConfig):
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
+def ray_sort_key(scene, origin, direction):
+    """Spatial sort key: direction octant (major) + 5-bit-per-axis
+    Morton code of the origin within the scene bounds.
+
+    Scattered bounce rays are incoherent; sorting them so a sweep tile
+    sees similar origins/directions restores most of the tile-level
+    culling the cluster kernel relies on (SURVEY.md §5.7: lobe/ray
+    sorting between bounces)."""
+    lo = scene.world_aabb[0]
+    span = jnp.maximum(scene.world_aabb[1] - lo, 1e-9)
+    q = jnp.clip(((origin - lo) / span * 31.0).astype(jnp.int32), 0, 31)
+
+    def spread3(x):
+        out = jnp.zeros_like(x)
+        for b in range(5):
+            out = out | (((x >> b) & 1) << (3 * b))
+        return out
+
+    morton = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+              | (spread3(q[:, 2]) << 2))
+    octant = ((direction[:, 0] > 0).astype(jnp.int32) * 4
+              + (direction[:, 1] > 0).astype(jnp.int32) * 2
+              + (direction[:, 2] > 0).astype(jnp.int32))
+    return (octant << 15) | morton
+
+
+def sorted_intersect(isect, scene, origin, direction, eps):
+    """Permute rays into sort-key order for the intersect call and
+    un-permute the hit results (state stays in pixel order)."""
+    r = origin.shape[0]
+    key = ray_sort_key(scene, origin, direction)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(r, dtype=jnp.int32))
+    # One wide gather for both ray vectors.
+    packed = jnp.concatenate([origin, direction], axis=1)  # [R, 6]
+    packed = jnp.take(packed, perm, axis=0)
+    t, obj, tri = isect(scene, packed[:, 0:3], packed[:, 3:6], eps=eps)
+    inv_perm = jnp.zeros((r,), jnp.int32).at[perm].set(
+        jnp.arange(r, dtype=jnp.int32))
+    t = jnp.take(t, inv_perm, axis=0)
+    obj = jnp.take(obj, inv_perm, axis=0)
+    tri = jnp.take(tri, inv_perm, axis=0)
+    return t, obj, tri
+
+
+def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
+               alive, seed, bounce, t, obj, tri):
+    """One shading iteration of the traceRay loop
+    (path_tracing.comp:219-323), given the intersection results.
+
+    ``bounce`` may be a scalar (megakernel loop index) or a per-ray i32
+    vector (wavefront pool) — the Russian-roulette gate broadcasts.
+
+    Returns (origin, direction, acc, mask, alive, seed).
+    """
+    miss = alive & (t >= INF)
+    # Reference assigns (not adds) mask*env on miss (:220-223).
+    acc = jnp.where(miss[:, None], mask * cfg.env_color, acc)
+    alive = alive & ~miss
+
+    safe_obj = jnp.maximum(obj, 0)
+    safe_tri = jnp.maximum(tri, 0)
+
+    # Two wide-row gathers cover all shading inputs
+    # (scene/types.py tri_shade/obj_shade layouts).
+    oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
+    tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
+    world3 = oshade[:, 0:9].reshape(-1, 3, 3)
+    inv34 = oshade[:, 9:21].reshape(-1, 3, 4)
+    base_color = oshade[:, 21:25]
+    emission = oshade[:, 25:28]
+    mrti = oshade[:, 28:32]
+
+    # Hit position (world + object space) and barycentrics
+    # (:228-234).
+    o_loc = transform_point(inv34, origin)
+    d_loc = transform_dir(inv34, direction)
+    pos_w = origin + t[:, None] * direction
+    pos_loc = o_loc + t[:, None] * d_loc
+    v0 = tshade[:, 15:18]
+    v1 = tshade[:, 18:21]
+    v2 = tshade[:, 21:24]
+    bary = barycentric(pos_loc, v0, v1, v2)
+    uv = (bary[:, 0:1] * tshade[:, 9:11]
+          + bary[:, 1:2] * tshade[:, 11:13]
+          + bary[:, 2:3] * tshade[:, 13:15])
+
+    roughness = jnp.maximum(mrti[:, 1], 0.001)
+    metallic = mrti[:, 0]
+    transmission = mrti[:, 2]
+    ior = mrti[:, 3]
+
+    # Texture taps (:244-261); statically elided for untextured
+    # scenes (cornell/outside).
+    if scene.has_textures:
+        tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+        def tap(slot):
+            tid = tex[:, slot]
+            s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
+            return (tid >= 0), s
+        has_c, c = tap(0)
+        base_color = jnp.where(has_c[:, None], base_color * c, base_color)
+        has_e, e = tap(1)
+        emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
+        has_mr, mr = tap(2)
+        metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+        roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
+        has_t, tt = tap(3)
+        transmission = jnp.where(has_t, transmission * tt[:, 0],
+                                 transmission)
+
+    base_color = srgb_to_linear(base_color)
+
+    lobe, seed = bsdf.determine_interaction(metallic, transmission,
+                                            seed, alive)
+    acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
+
+    # Shading normal: mat3(world) @ interpolated normal, normalized
+    # (:272; no inverse-transpose — reference behavior).
+    n_loc = (bary[:, 0:1] * tshade[:, 0:3]
+             + bary[:, 1:2] * tshade[:, 3:6]
+             + bary[:, 2:3] * tshade[:, 6:9])
+    n = transform_dir(world3, n_loc)
+    n = n / jnp.sqrt(jnp.maximum(
+        jnp.sum(n * n, axis=-1, keepdims=True), 1e-38))
+    ndotd = jnp.sum(n * direction, axis=-1)
+    ff = jnp.where((ndotd < 0.0)[:, None], n, -n)
+
+    def tangent_basis(ffn):
+        pick_y = jnp.abs(ffn[:, 0]) > 0.1
+        axis = jnp.where(pick_y[:, None],
+                         jnp.array([0.0, 1.0, 0.0]),
+                         jnp.array([1.0, 0.0, 0.0]))
+        u = jnp.cross(axis, ffn)
+        u = u / jnp.sqrt(jnp.maximum(
+            jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
+        v = jnp.cross(ffn, u)
+        return u, v
+
+    u, v = tangent_basis(ff)
+
+    if scene.has_textures:
+        tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+        has_n, nmap = tap(4)
+        tn = nmap[:, :3] * 2.0 - 1.0
+        tn = tn / jnp.sqrt(jnp.maximum(
+            jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
+        ff_mapped = (tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff)
+        ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
+            jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True), 1e-38))
+        ff = jnp.where(has_n[:, None], ff_mapped, ff)
+        u2, v2 = tangent_basis(ff)
+        u = jnp.where(has_n[:, None], u2, u)
+        v = jnp.where(has_n[:, None], v2, v)
+
+    view = jnp.stack([
+        jnp.sum(-direction * u, axis=-1),
+        jnp.sum(-direction * v, axis=-1),
+        jnp.sum(-direction * ff, axis=-1)], -1)
+    outside = jnp.sum(n * -direction, axis=-1) > 0.0
+
+    if cfg.use_microfacet:
+        weight, ldir_t, seed = bsdf.heitz_sample(
+            base_color[:, :3], view, roughness, transmission, ior,
+            outside, lobe, seed, alive, max_order=cfg.heitz_max_order)
+    else:
+        weight, ldir_t, seed = bsdf.basic_sample(
+            base_color[:, :3], view, transmission, ior,
+            outside, lobe, seed, alive)
+
+    mask = jnp.where(alive[:, None], mask * weight, mask)
+    ldir_w = (ldir_t[:, 0:1] * u + ldir_t[:, 1:2] * v
+              + ldir_t[:, 2:3] * ff)
+    origin = jnp.where(alive[:, None], pos_w, origin)
+    direction = jnp.where(alive[:, None], ldir_w, direction)
+
+    # Russian roulette (:317-323).
+    q = jnp.max(mask, axis=-1)
+    rr = alive & (q < cfg.rr_threshold) & (bounce > cfg.rr_bounces)
+    r_rr, seed = rand_parity_masked(seed, rr)
+    kill = rr & (r_rr > q)
+    alive = alive & ~kill
+    boost = rr & ~kill
+    mask = jnp.where(boost[:, None], mask / q[:, None], mask)
+
+    return origin, direction, acc, mask, alive, seed
+
+
 def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
                intersect_fn=None):
     """Path-trace a batch of rays: the traceRay loop
     (path_tracing.comp:211-327) vectorized over [R] lanes.
 
-    Returns (radiance [R, 3], seed').
+    Returns (radiance [R, 3], seed', rays_traced).
     """
     isect = intersect_fn or pick_intersect(cfg)
+    mode = cfg.intersect
+    if mode == "auto":
+        mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
+    use_sort = (cfg.sort_rays and mode != "bvh" and intersect_fn is None)
     r = origin.shape[0]
     acc = jnp.zeros((r, 3), jnp.float32)
     mask = jnp.ones((r, 3), jnp.float32)
@@ -80,137 +271,14 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
     def bounce_body(bounce, state):
         origin, direction, acc, mask, alive, seed, rays_traced = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
-        miss = alive & (t >= INF)
-        # Reference assigns (not adds) mask*env on miss (:220-223).
-        acc = jnp.where(miss[:, None], mask * cfg.env_color, acc)
-        alive = alive & ~miss
-
-        safe_obj = jnp.maximum(obj, 0)
-        safe_tri = jnp.maximum(tri, 0)
-
-        # Two wide-row gathers cover all shading inputs
-        # (scene/types.py tri_shade/obj_shade layouts).
-        oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
-        tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
-        world3 = oshade[:, 0:9].reshape(-1, 3, 3)
-        inv34 = oshade[:, 9:21].reshape(-1, 3, 4)
-        base_color = oshade[:, 21:25]
-        emission = oshade[:, 25:28]
-        mrti = oshade[:, 28:32]
-
-        # Hit position (world + object space) and barycentrics
-        # (:228-234).
-        o_loc = transform_point(inv34, origin)
-        d_loc = transform_dir(inv34, direction)
-        pos_w = origin + t[:, None] * direction
-        pos_loc = o_loc + t[:, None] * d_loc
-        v0 = tshade[:, 15:18]
-        v1 = tshade[:, 18:21]
-        v2 = tshade[:, 21:24]
-        bary = barycentric(pos_loc, v0, v1, v2)
-        uv = (bary[:, 0:1] * tshade[:, 9:11]
-              + bary[:, 1:2] * tshade[:, 11:13]
-              + bary[:, 2:3] * tshade[:, 13:15])
-
-        roughness = jnp.maximum(mrti[:, 1], 0.001)
-        metallic = mrti[:, 0]
-        transmission = mrti[:, 2]
-        ior = mrti[:, 3]
-
-        # Texture taps (:244-261); statically elided for untextured
-        # scenes (cornell/outside).
-        if scene.has_textures:
-            tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
-            def tap(slot):
-                tid = tex[:, slot]
-                s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
-                return (tid >= 0), s
-            has_c, c = tap(0)
-            base_color = jnp.where(has_c[:, None], base_color * c, base_color)
-            has_e, e = tap(1)
-            emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
-            has_mr, mr = tap(2)
-            metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
-            roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
-            has_t, tt = tap(3)
-            transmission = jnp.where(has_t, transmission * tt[:, 0],
-                                     transmission)
-
-        base_color = srgb_to_linear(base_color)
-
-        lobe, seed = bsdf.determine_interaction(metallic, transmission,
-                                                seed, alive)
-        acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
-
-        # Shading normal: mat3(world) @ interpolated normal, normalized
-        # (:272; no inverse-transpose — reference behavior).
-        n_loc = (bary[:, 0:1] * tshade[:, 0:3]
-                 + bary[:, 1:2] * tshade[:, 3:6]
-                 + bary[:, 2:3] * tshade[:, 6:9])
-        n = transform_dir(world3, n_loc)
-        n = n / jnp.sqrt(jnp.maximum(
-            jnp.sum(n * n, axis=-1, keepdims=True), 1e-38))
-        ndotd = jnp.sum(n * direction, axis=-1)
-        ff = jnp.where((ndotd < 0.0)[:, None], n, -n)
-
-        def tangent_basis(ffn):
-            pick_y = jnp.abs(ffn[:, 0]) > 0.1
-            axis = jnp.where(pick_y[:, None],
-                             jnp.array([0.0, 1.0, 0.0]),
-                             jnp.array([1.0, 0.0, 0.0]))
-            u = jnp.cross(axis, ffn)
-            u = u / jnp.sqrt(jnp.maximum(
-                jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
-            v = jnp.cross(ffn, u)
-            return u, v
-
-        u, v = tangent_basis(ff)
-
-        if scene.has_textures:
-            tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
-            has_n, nmap = tap(4)
-            tn = nmap[:, :3] * 2.0 - 1.0
-            tn = tn / jnp.sqrt(jnp.maximum(
-                jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
-            ff_mapped = (tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff)
-            ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
-                jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True), 1e-38))
-            ff = jnp.where(has_n[:, None], ff_mapped, ff)
-            u2, v2 = tangent_basis(ff)
-            u = jnp.where(has_n[:, None], u2, u)
-            v = jnp.where(has_n[:, None], v2, v)
-
-        view = jnp.stack([
-            jnp.sum(-direction * u, axis=-1),
-            jnp.sum(-direction * v, axis=-1),
-            jnp.sum(-direction * ff, axis=-1)], -1)
-        outside = jnp.sum(n * -direction, axis=-1) > 0.0
-
-        if cfg.use_microfacet:
-            weight, ldir_t, seed = bsdf.heitz_sample(
-                base_color[:, :3], view, roughness, transmission, ior,
-                outside, lobe, seed, alive, max_order=cfg.heitz_max_order)
+        if use_sort:
+            t, obj, tri = sorted_intersect(isect, scene, origin, direction,
+                                           cfg.eps)
         else:
-            weight, ldir_t, seed = bsdf.basic_sample(
-                base_color[:, :3], view, transmission, ior,
-                outside, lobe, seed, alive)
-
-        mask = jnp.where(alive[:, None], mask * weight, mask)
-        ldir_w = (ldir_t[:, 0:1] * u + ldir_t[:, 1:2] * v
-                  + ldir_t[:, 2:3] * ff)
-        origin = jnp.where(alive[:, None], pos_w, origin)
-        direction = jnp.where(alive[:, None], ldir_w, direction)
-
-        # Russian roulette (:317-323).
-        q = jnp.max(mask, axis=-1)
-        rr = alive & (q < cfg.rr_threshold) & (bounce > cfg.rr_bounces)
-        r_rr, seed = rand_parity_masked(seed, rr)
-        kill = rr & (r_rr > q)
-        alive = alive & ~kill
-        boost = rr & ~kill
-        mask = jnp.where(boost[:, None], mask / q[:, None], mask)
-
+            t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
+        origin, direction, acc, mask, alive, seed = shade_step(
+            scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
+            t, obj, tri)
         return origin, direction, acc, mask, alive, seed, rays_traced
 
     state = (origin, direction, acc, mask, alive, seed, rays_traced)

@@ -97,10 +97,18 @@ class ProgressiveRenderer:
 
     # -- progressive stepping ------------------------------------------
 
+    def _use_wavefront(self) -> bool:
+        mode = self.config.renderer
+        if mode == "auto":
+            return jax.default_backend() == "tpu"
+        return mode == "wavefront"
+
     def step(self, samples: int = 1):
         """Render ``samples`` more samples into the accumulator."""
         cam = jnp.asarray(self.camera_world)
         fov = jnp.float32(self.fov_y)
+        if self._use_wavefront():
+            return self._step_wavefront(samples, cam, fov)
         for _ in range(samples):
             if self._dirty:
                 # Reset protocol (src/RendererPT.cpp:575-581).
@@ -128,6 +136,40 @@ class ProgressiveRenderer:
             if self.sample_count % 100 == 0:
                 log.info("samples/s: %.3f  Mrays/s: %.2f",
                          self.samples_per_sec(), self.mrays_per_sec())
+        return self
+
+    def _step_wavefront(self, samples: int, cam, fov):
+        """Batch step through the pooled wavefront renderer
+        (render/wavefront.py): all ``samples`` samples share one ray
+        pool, so dead lanes are recycled across sample boundaries."""
+        from logipathtracer_tpu.render.wavefront import render_wavefront
+        if self._dirty:
+            self.sample_count = 0
+            self.total_rays = 0.0
+            self._session_samples = 0
+            self._session_rays = 0.0
+            self._elapsed = 0.0
+            self.accum = jnp.zeros_like(self.accum)
+        seeds = jnp.asarray(
+            self._host_rng.integers(1, 2 ** 31, (samples, 2),
+                                    dtype=np.int64), jnp.uint32)
+        t0 = time.perf_counter()
+        batch, rays = render_wavefront(
+            self.scene, self.config, cam, fov, seeds,
+            pool=min(self.config.pool_size,
+                     self.config.render_width * self.config.render_height))
+        self.accum = self.accum + batch
+        jax.block_until_ready(self.accum)
+        self._elapsed += time.perf_counter() - t0
+        self.sample_count += samples
+        self._session_samples += samples
+        self.total_rays += float(rays)
+        self._session_rays += float(rays)
+        self._dirty = False
+        if self.sample_count % 10 < samples:
+            log.info("samples: %d  samples/s: %.3f  Mrays/s: %.2f",
+                     self.sample_count, self.samples_per_sec(),
+                     self.mrays_per_sec())
         return self
 
     def samples_per_sec(self) -> float:

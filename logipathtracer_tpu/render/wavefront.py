@@ -1,0 +1,185 @@
+"""Pooled wavefront renderer.
+
+The full TPU restructuring of the reference's megakernel (SURVEY.md §7
+step 3, BASELINE.json config 4): a persistent pool of rays where
+
+  * every iteration REGENERATES dead lanes with fresh (pixel, sample)
+    work items — the stream-compaction equivalent that keeps all VPU
+    lanes busy instead of carrying dead lanes to the end of the frame
+    like the lockstep megakernel does,
+  * live rays are SORTED each iteration by direction octant + origin
+    Morton code, so the cluster-sweep kernel sees coherent tiles even
+    for deep bounce rays,
+  * terminated paths scatter-add their radiance into the (block-major)
+    accumulation buffer keyed by pixel id.
+
+Per-(pixel, sample) RNG streams are identical to the megakernel's
+(seed = ubo_seed[sample] * pixel, drawn in the same order along each
+path), so each work item's radiance matches the sequential renderer up
+to intersect tie-breaks; only the accumulation order differs (ULPs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.ops.camera import generate_ray
+from logipathtracer_tpu.ops.rng import seed_from_pixel
+from logipathtracer_tpu.render.megakernel import (pick_intersect,
+                                                  ray_sort_key, shade_step)
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _bitcast_f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _bitcast_i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool"))
+def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
+                     pool: int = 1 << 20):
+    """Render ``S = ubo_seeds.shape[0]`` full-frame samples.
+
+    Returns (accum [H, W, 3] radiance SUM over the S samples,
+    rays_traced scalar).
+    """
+    h, w = cfg.render_height, cfg.render_width
+    npix = h * w
+    s = ubo_seeds.shape[0]
+    total = s * npix
+    p = min(pool, total)
+    # Block-major pixel mapping (pure arithmetic, no index tables).
+    bw = 32
+    bh = max(cfg.sweep_tile // bw, 1)
+    blocked = (h % bh == 0) and (w % bw == 0)
+
+    def pix_coords(pixi):
+        if blocked:
+            per_block = bh * bw
+            blk = pixi // per_block
+            within = pixi % per_block
+            bx = blk % (w // bw)
+            by = blk // (w // bw)
+            px = bx * bw + within % bw
+            py = by * bh + within // bw
+        else:
+            px = pixi % w
+            py = pixi // w
+        return px.astype(jnp.float32), py.astype(jnp.float32)
+
+    isect = pick_intersect(cfg)
+
+    state = dict(
+        origin=jnp.zeros((p, 3)),
+        direction=jnp.zeros((p, 3)).at[:, 2].set(1.0),
+        mask=jnp.ones((p, 3)),
+        acc=jnp.zeros((p, 3)),
+        seed=jnp.zeros((p, 2), jnp.uint32),
+        alive=jnp.zeros((p,), bool),
+        pending=jnp.zeros((p,), bool),
+        bounce=jnp.zeros((p,), jnp.int32),
+        pixid=jnp.zeros((p,), jnp.int32),
+        next_work=jnp.zeros((), jnp.int32),
+        accum=jnp.zeros((npix, 3)),
+        rays=jnp.zeros((), jnp.float32),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    max_iters = (total // p + 2) * cfg.max_depth + 4
+
+    def cond(st):
+        return ((st["next_work"] < total) | jnp.any(st["pending"])) \
+            & (st["it"] < max_iters)
+
+    def body(st):
+        origin, direction = st["origin"], st["direction"]
+        mask, acc, seed = st["mask"], st["acc"], st["seed"]
+        alive, pending = st["alive"], st["pending"]
+        bounce, pixid = st["bounce"], st["pixid"]
+        next_work, accum = st["next_work"], st["accum"]
+
+        # ---- regenerate dead lanes with new work items ---------------
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        item = next_work + rank
+        valid = dead & (item < total)
+        sampi = jnp.where(valid, item // npix, 0)
+        pixi = jnp.where(valid, item % npix, 0)
+        px, py = pix_coords(pixi)
+        useed = jnp.take(ubo_seeds, sampi, axis=0)
+        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1))
+        o_new, d_new, nseed = generate_ray(
+            cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
+            active=valid)
+        vx = valid[:, None]
+        origin = jnp.where(vx, o_new, origin)
+        direction = jnp.where(vx, d_new, direction)
+        mask = jnp.where(vx, 1.0, mask)
+        acc = jnp.where(vx, 0.0, acc)
+        seed = jnp.where(vx, nseed, seed)
+        bounce = jnp.where(valid, 0, bounce)
+        pixid = jnp.where(valid, pixi, pixid)
+        alive = alive | valid
+        pending = pending | valid
+        next_work = jnp.minimum(
+            next_work + jnp.sum(dead.astype(jnp.int32)), total)
+
+        # ---- sort the pool for sweep coherence ------------------------
+        if cfg.sort_rays:
+            key = jnp.where(alive, ray_sort_key(scene, origin, direction),
+                            _I32_MAX)
+            packed = jnp.concatenate([
+                origin, direction, mask, acc,
+                _bitcast_f(seed.astype(jnp.int32)),
+                _bitcast_f(bounce)[:, None],
+                _bitcast_f(pixid)[:, None],
+                _bitcast_f(alive.astype(jnp.int32))[:, None],
+                _bitcast_f(pending.astype(jnp.int32))[:, None],
+            ], axis=1)  # [P, 18]
+            _, perm = jax.lax.sort_key_val(
+                key, jnp.arange(p, dtype=jnp.int32))
+            packed = jnp.take(packed, perm, axis=0)  # one wide gather
+            origin = packed[:, 0:3]
+            direction = packed[:, 3:6]
+            mask = packed[:, 6:9]
+            acc = packed[:, 9:12]
+            seed = _bitcast_i(packed[:, 12:14]).astype(jnp.uint32)
+            bounce = _bitcast_i(packed[:, 14])
+            pixid = _bitcast_i(packed[:, 15])
+            alive = _bitcast_i(packed[:, 16]) != 0
+            pending = _bitcast_i(packed[:, 17]) != 0
+
+        # ---- intersect + shade ----------------------------------------
+        rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
+        t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
+        shaded_alive = alive
+        origin, direction, acc, mask, alive, seed = shade_step(
+            scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
+            t, obj, tri)
+        bounce = jnp.where(shaded_alive, bounce + 1, bounce)
+        alive = alive & (bounce < cfg.max_depth)
+
+        # ---- flush finished paths -------------------------------------
+        flush = pending & ~alive
+        accum = accum.at[pixid].add(jnp.where(flush[:, None], acc, 0.0))
+        pending = pending & alive
+
+        return dict(origin=origin, direction=direction, mask=mask, acc=acc,
+                    seed=seed, alive=alive, pending=pending, bounce=bounce,
+                    pixid=pixid, next_work=next_work, accum=accum,
+                    rays=rays, it=st["it"] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    accum = state["accum"]
+    if blocked:
+        accum = accum.reshape(h // bh, w // bw, bh, bw, 3).transpose(
+            0, 2, 1, 3, 4)
+    return accum.reshape(h, w, 3), state["rays"]

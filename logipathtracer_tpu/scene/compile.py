@@ -226,6 +226,8 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         cl_tris=clustered.cl_tris,
         tri_shade=tri_shade,
         obj_shade=obj_shade,
+        world_aabb=np.stack([np.stack(obj_world_aabb_min).min(axis=0),
+                             np.stack(obj_world_aabb_max).max(axis=0)]),
         num_objects=num_objects,
         num_triangles=vtx_pos.shape[0] // 3,
         max_stack=max_stack,

@@ -94,6 +94,8 @@ class SceneSoA:
                           #              base_color (4), emission (3),
                           #              metallic roughness transmission ior
 
+    world_aabb: Any       # [2, 3] f32 scene bounds (ray sort-key range)
+
     # Static metadata (aux_data, not traced).
     num_objects: int = 0
     num_triangles: int = 0
@@ -113,7 +115,7 @@ class SceneSoA:
         "fused_min", "fused_max", "fused_meta",
         "tex_atlas", "tex_table",
         "cl_meta", "cl_aabb", "cl_tris",
-        "tri_shade", "obj_shade",
+        "tri_shade", "obj_shade", "world_aabb",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
                       "leaf_width", "has_textures", "cluster_size",

@@ -1,0 +1,91 @@
+"""Pooled wavefront renderer vs megakernel (SURVEY.md §7 step 3:
+verify equivalence at equal seeds)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.render.megakernel import render_sample
+from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+from logipathtracer_tpu.render.wavefront import render_wavefront
+
+SEEDS = [[48271, 16807], [11, 22], [777, 999]]
+
+
+def _mk_sum(scene, cfg, seeds):
+    cam = scene.cameras[0]
+    out = None
+    for s in seeds:
+        img = np.asarray(render_sample(
+            scene, cfg, jnp.asarray(cam.world_matrix),
+            jnp.float32(cam.yfov), jnp.asarray(s, jnp.uint32)))
+        out = img if out is None else out + img
+    return out
+
+
+@pytest.mark.parametrize("pool", [256, 1024, 4096])
+def test_wavefront_matches_megakernel(cornell_scene, pool):
+    cfg = RenderConfig(width=32, height=32, max_depth=6, intersect="bvh")
+    cam = cornell_scene.cameras[0]
+    wf, rays = render_wavefront(
+        cornell_scene, cfg, jnp.asarray(cam.world_matrix),
+        jnp.float32(cam.yfov), jnp.asarray(SEEDS, jnp.uint32), pool=pool)
+    wf = np.asarray(wf)
+    mk = _mk_sum(cornell_scene, cfg, SEEDS)
+    close = np.isclose(wf, mk, rtol=1e-4, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.995, f"{(~close).sum()} divergent pixels"
+    assert float(rays) > 0
+
+
+def test_wavefront_unsorted(cornell_scene):
+    cfg = RenderConfig(width=32, height=32, max_depth=4, intersect="bvh",
+                       sort_rays=False)
+    cam = cornell_scene.cameras[0]
+    wf, _ = render_wavefront(
+        cornell_scene, cfg, jnp.asarray(cam.world_matrix),
+        jnp.float32(cam.yfov), jnp.asarray(SEEDS[:1], jnp.uint32), pool=512)
+    mk = _mk_sum(cornell_scene, cfg, SEEDS[:1])
+    close = np.isclose(np.asarray(wf), mk, rtol=1e-4, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.995
+
+
+def test_wavefront_ray_count(cornell_scene):
+    """Pool compaction must trace exactly the rays the megakernel counts
+    as alive (same paths, same lengths)."""
+    from logipathtracer_tpu.render.megakernel import trace_rays
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    cfg = RenderConfig(width=16, height=16, max_depth=6, intersect="bvh",
+                       sort_rays=False)
+    cam = cornell_scene.cameras[0]
+    h = w = 16
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(jnp.asarray(SEEDS[0], jnp.uint32), pix)
+    o, d, seed = generate_ray(jnp.asarray(cam.world_matrix),
+                              jnp.float32(cam.yfov), pix, (w, h), seed)
+    _, _, rays_mk = trace_rays(cornell_scene, cfg, o, d, seed)
+    _, rays_wf = render_wavefront(
+        cornell_scene, cfg, jnp.asarray(cam.world_matrix),
+        jnp.float32(cam.yfov), jnp.asarray(SEEDS[:1], jnp.uint32), pool=128)
+    assert float(rays_mk) == float(rays_wf)
+
+
+def test_progressive_wavefront_mode(cornell_scene):
+    cfg = RenderConfig(width=32, height=32, max_depth=4,
+                       renderer="wavefront", intersect="bvh")
+    r = ProgressiveRenderer(cornell_scene, cfg, host_seed=5)
+    r.step(2)
+    assert r.sample_count == 2
+    a = r.radiance()
+    r.step(2)
+    assert r.sample_count == 4
+    assert np.isfinite(r.radiance()).all()
+    # vs megakernel renderer with the same host seed
+    cfg2 = cfg.replace(renderer="megakernel")
+    r2 = ProgressiveRenderer(cornell_scene, cfg2, host_seed=5)
+    r2.step(2)
+    close = np.isclose(a, r2.radiance(), rtol=1e-4, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.995
