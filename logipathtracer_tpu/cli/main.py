@@ -90,6 +90,10 @@ def cmd_render(args) -> int:
     img = to_uint8(np.asarray(r.image()))
     write_png(args.output, img)
     log.info("wrote %s", args.output)
+    if args.exr:
+        from logipathtracer_tpu.film.exr import write_exr
+        write_exr(args.exr, r.radiance())
+        log.info("wrote %s", args.exr)
     if args.radiance:
         np.savez(args.radiance, radiance=r.radiance(),
                  sample_count=r.sample_count)
@@ -171,6 +175,8 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="headless render to PNG")
     _add_common(pr)
     pr.add_argument("-o", "--output", default="render.png")
+    pr.add_argument("--exr", default=None,
+                    help="also write linear-radiance OpenEXR")
     pr.add_argument("--radiance", default=None,
                     help="also write mean radiance .npz (RMSE metric input)")
     pr.add_argument("--resume", default=None,

@@ -85,7 +85,7 @@ def _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, best_t):
             & (((t0 > 0.0) & (t0 < best_t)) | ((t0 <= 0.0) & (t1 > 0.0))))
 
 
-def _kernel(meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
+def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
             t_out, tri_out, obj_out, lray, best_t, best_tri, best_obj,
             *, num_objects: int, num_clusters: int, eps: float,
             tile: int, lanes: int):
@@ -115,8 +115,15 @@ def _kernel(meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1)
 
+    # Tile direction octant (rays are octant-major sorted): pick the
+    # front-to-back cluster order so best_t pruning culls far clusters.
+    oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
+            + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
+            + (rays_ref[5, 0] > 0.0).astype(jnp.int32))
+
     # --- uniform cluster sweep ---------------------------------------
-    def cl_body(c, _):
+    def cl_body(ci, _):
+        c = order_ref[oct_, ci]
         obj = meta_ref[c, 0]
         tri_base = meta_ref[c, 1]
         lox = lray[obj, 0, :]
@@ -157,15 +164,16 @@ def _kernel(meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "eps", "interpret"))
-def cluster_intersect_pallas(cl_meta, cl_inv, cl_aabb, cl_tris,
+def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                              rays8, tile: int = 1024, eps: float = 1e-4,
                              interpret: bool = False):
     """Closest hit for rays8 [8, R] (R multiple of ``tile``).
 
-    cl_meta: [C, 2] int32 (obj, tri_base) — SMEM.
-    cl_inv:  [O, 12] f32 — SMEM.
-    cl_aabb: [C, 8] f32 — SMEM (scalar per-cluster reads).
-    cl_tris: [C, 9, S] f32 — VMEM.
+    cl_meta:  [C, 2] int32 (obj, tri_base) — SMEM.
+    cl_inv:   [O, 12] f32 — SMEM.
+    cl_order: [8, C] int32 per-octant front-to-back order — SMEM.
+    cl_aabb:  [C, 8] f32 — SMEM (scalar per-cluster reads).
+    cl_tris:  [C, 9, S] f32 — VMEM.
     Returns (t [R], tri [R] i32, obj [R] i32).
     """
     r = rays8.shape[1]
@@ -188,6 +196,7 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_aabb, cl_tris,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # order [8, C]
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # rays
             pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [C, 8]
@@ -214,7 +223,7 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_aabb, cl_tris,
             pltpu.VMEM((tile,), jnp.int32),          # best_obj
         ],
         interpret=interpret,
-    )(cl_meta, cl_inv, rays8, cl_aabb, cl_tris)
+    )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 

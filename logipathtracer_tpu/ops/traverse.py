@@ -159,8 +159,9 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             eps=eps)
     else:
         t, tri, obj = cluster_intersect_pallas(
-            scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris, rays8,
-            tile=tile, eps=eps, interpret=(backend == "interpret"))
+            scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
+            scene.cl_tris, rays8, tile=tile, eps=eps,
+            interpret=(backend == "interpret"))
     return t[:r], obj[:r], tri[:r]
 
 

@@ -181,6 +181,24 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     cl_meta = np.stack([clustered.cl_obj, clustered.cl_tri_base],
                        axis=1).astype(np.int32)
 
+    # Per-octant front-to-back cluster order: sweeping near clusters
+    # first makes the kernel's best_t slab pruning effective (clusters
+    # behind the closest hit fail the slab test and skip their MT).
+    cl_center_world = np.zeros((cl_meta.shape[0], 3), np.float32)
+    for i in range(cl_meta.shape[0]):
+        o = int(cl_meta[i, 0])
+        center = 0.5 * (clustered.cl_aabb[i, 0:3]
+                        + clustered.cl_aabb[i, 3:6])
+        m = obj_world[o]
+        cl_center_world[i] = m[:3, :3] @ center + m[:3, 3]
+    cl_order = np.zeros((8, cl_meta.shape[0]), np.int32)
+    for oct_ in range(8):
+        sign = np.array([1.0 if oct_ & 4 else -1.0,
+                         1.0 if oct_ & 2 else -1.0,
+                         1.0 if oct_ & 1 else -1.0], np.float32)
+        cl_order[oct_] = np.argsort(cl_center_world @ sign,
+                                    kind="stable").astype(np.int32)
+
     # Packed per-triangle / per-object shade rows (scene/types.py).
     t_count = vtx_pos.shape[0] // 3
     tri_shade = np.zeros((t_count, 32), np.float32)
@@ -224,6 +242,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
+        cl_order=cl_order,
         tri_shade=tri_shade,
         obj_shade=obj_shade,
         world_aabb=np.stack([np.stack(obj_world_aabb_min).min(axis=0),

@@ -82,7 +82,9 @@ class SceneSoA:
     # Clustered arrays for the gather-free sweep kernel
     # (scene/clusters.py; ops/pallas/cluster_intersect.py).
     cl_meta: Any          # [C, 2] i32: obj, tri_base
-    cl_aabb: Any          # [8, C] f32: min.xyz, max.xyz, pad, pad
+    cl_aabb: Any          # [C, 8] f32: min.xyz, max.xyz, pad, pad
+    cl_order: Any         # [8, C] i32: front-to-back cluster order per
+                          # direction octant (early-out pruning)
     cl_tris: Any          # [C, 9, S] f32: v0.xyz, e1.xyz, e2.xyz lanes
 
     # Packed shade tables: ONE wide-row gather per hit instead of many
@@ -114,7 +116,7 @@ class SceneSoA:
         "vtx_pos", "vtx_nrm", "vtx_uv",
         "fused_min", "fused_max", "fused_meta",
         "tex_atlas", "tex_table",
-        "cl_meta", "cl_aabb", "cl_tris",
+        "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",

@@ -1,0 +1,35 @@
+"""Procedural scenes compile and render (the outside.gltf-scale
+stand-ins, SURVEY.md §6)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.render.megakernel import render_sample
+from logipathtracer_tpu.scene.compile import compile_scene
+from logipathtracer_tpu.scene.procedural import (make_box_scene,
+                                                 make_triangle_soup)
+
+
+def test_box_scene_renders():
+    gltf = make_box_scene(spheres=3, subdiv=1, seed=1)
+    cfg = RenderConfig(width=24, height=24, max_depth=3, intersect="bvh")
+    scene = compile_scene(gltf, cfg)
+    cam = scene.cameras[0]
+    img = np.asarray(render_sample(
+        scene, cfg, jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+        jnp.asarray([17, 29], jnp.uint32)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0  # emissive lamp visible somewhere
+
+
+def test_soup_scale_build():
+    gltf = make_triangle_soup(n_tris=50_000, seed=2)
+    cfg = RenderConfig(width=8, height=8, max_depth=1, intersect="bvh")
+    scene = compile_scene(gltf, cfg)
+    assert scene.num_triangles == 50_000
+    cam = scene.cameras[0]
+    img = np.asarray(render_sample(
+        scene, cfg, jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+        jnp.asarray([5, 7], jnp.uint32)))
+    assert np.isfinite(img).all()
