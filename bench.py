@@ -51,14 +51,19 @@ def main(argv=None) -> int:
     compile_s = time.perf_counter() - t0
 
     r = ProgressiveRenderer(scene, cfg, host_seed=0)
-    # Warmup: XLA compile + first sample (not timed).
+    # Warmup chunk = timed chunk so the wavefront path (whose jit key
+    # includes the per-step seed-batch shape) compiles exactly once.
+    chunk = max(1, min(4, samples))
     t0 = time.perf_counter()
-    r.step(1)
+    r.step(chunk)
     warmup_s = time.perf_counter() - t0
 
+    timed = max(chunk, (samples // chunk) * chunk)
     t0 = time.perf_counter()
-    r.step(samples)
+    for _ in range(timed // chunk):
+        r.step(chunk)
     wall = time.perf_counter() - t0
+    samples = timed
     rays_per_sample = r.total_rays / r.sample_count
     mrays = rays_per_sample * samples / wall / 1e6
     spp_per_sec = samples / wall

@@ -166,6 +166,22 @@ def cmd_view(args) -> int:
         sys.stdout.write("\x1b[0m\n")
 
 
+def cmd_compare(args) -> int:
+    from logipathtracer_tpu.film.image import rmse
+    a = np.load(args.a)["radiance"]
+    b = np.load(args.b)["radiance"]
+    if a.shape != b.shape:
+        print(json.dumps({"error": f"shape mismatch {a.shape} vs {b.shape}"}))
+        return 1
+    err = rmse(a, b)
+    print(json.dumps({"rmse": err, "shape": list(a.shape),
+                      "mean_a": float(np.mean(a)),
+                      "mean_b": float(np.mean(b))}))
+    if args.threshold is not None and err > args.threshold:
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="logipathtracer-tpu",
@@ -188,6 +204,15 @@ def main(argv=None) -> int:
     pv = sub.add_parser("view", help="interactive terminal viewer")
     _add_common(pv)
     pv.set_defaults(fn=cmd_view)
+
+    pc = sub.add_parser("compare",
+                        help="per-pixel RMSE between two radiance .npz "
+                             "files (the BASELINE.json parity metric)")
+    pc.add_argument("a")
+    pc.add_argument("b")
+    pc.add_argument("--threshold", type=float, default=None,
+                    help="exit 1 if RMSE exceeds this")
+    pc.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -42,10 +42,15 @@ class RenderConfig:
     # Intersection epsilon (shaders/common/constants.glsl:4).
     eps: float = 1e-4
 
+    # Next-event estimation (BEYOND the reference — it has no light
+    # sampling, path_tracing.comp:269; breaks RNG parity when on).
+    nee: bool = False
+
     # BVH build knobs (ours; the reference delegates to lsg's SBVH).
     bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf
     bvh_bins: int = 16            # SAH bins
-    cluster_size: int = 128       # triangles per sweep cluster (lane dim)
+    cluster_size: int = 256       # triangles per sweep cluster (lane
+                                  # dim; 256 won the on-chip autotune)
 
     # Execution.
     renderer: str = "auto"        # auto | megakernel | wavefront

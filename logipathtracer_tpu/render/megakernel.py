@@ -107,15 +107,21 @@ def sorted_intersect(isect, scene, origin, direction, eps):
 
 
 def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
-               alive, seed, bounce, t, obj, tri):
+               alive, seed, bounce, t, obj, tri, skip_emit=None,
+               isect=None):
     """One shading iteration of the traceRay loop
     (path_tracing.comp:219-323), given the intersection results.
 
     ``bounce`` may be a scalar (megakernel loop index) or a per-ray i32
     vector (wavefront pool) — the Russian-roulette gate broadcasts.
+    ``skip_emit``/``isect`` serve next-event estimation (cfg.nee):
+    emission is suppressed on lanes whose previous vertex already
+    sampled this light via NEE, and ``isect`` casts the shadow rays.
 
-    Returns (origin, direction, acc, mask, alive, seed).
+    Returns (origin, direction, acc, mask, alive, seed, skip_emit').
     """
+    if skip_emit is None:
+        skip_emit = jnp.zeros(alive.shape, bool)
     miss = alive & (t >= INF)
     # Reference assigns (not adds) mask*env on miss (:220-223).
     acc = jnp.where(miss[:, None], mask * cfg.env_color, acc)
@@ -176,7 +182,8 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
     lobe, seed = bsdf.determine_interaction(metallic, transmission,
                                             seed, alive)
-    acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
+    acc = acc + jnp.where((alive & ~skip_emit)[:, None],
+                          mask * emission, 0.0)
 
     # Shading normal: mat3(world) @ interpolated normal, normalized
     # (:272; no inverse-transpose — reference behavior).
@@ -222,6 +229,41 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         jnp.sum(-direction * ff, axis=-1)], -1)
     outside = jnp.sum(n * -direction, axis=-1) > 0.0
 
+    # --- next-event estimation (cfg.nee; beyond reference) ------------
+    new_skip = jnp.zeros_like(skip_emit)
+    if cfg.nee and scene.num_lights > 0 and isect is not None:
+        nee_mask = alive & (lobe == bsdf.LOBE_DIFFUSE)
+        r1, seed = rand_parity_masked(seed, nee_mask)
+        r2, seed = rand_parity_masked(seed, nee_mask)
+        r3, seed = rand_parity_masked(seed, nee_mask)
+        li = jnp.clip(jnp.searchsorted(scene.light_cdf, r1), 0,
+                      scene.num_lights - 1)
+        row = jnp.take(scene.light_tris, li, axis=0)
+        lv0, le1, le2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        le = row[:, 9:12]
+        su = jnp.sqrt(r2)
+        bu = (1.0 - su)[:, None]
+        bv = (r3 * su)[:, None]
+        lp = lv0 + bu * le1 + bv * le2
+        pos_hit = origin + t[:, None] * direction
+        ldir = lp - pos_hit
+        dist2 = jnp.maximum(jnp.sum(ldir * ldir, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wl = ldir / dist[:, None]
+        ln = jnp.cross(le1, le2)
+        ln = ln / jnp.maximum(jnp.sqrt(
+            jnp.sum(ln * ln, axis=-1, keepdims=True)), 1e-20)
+        cos_l = jnp.abs(jnp.sum(ln * -wl, axis=-1))  # two-sided emitter
+        cos_s = jnp.sum(ff * wl, axis=-1)
+        t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps)
+        visible = t_s >= dist * (1.0 - 1e-3)
+        f_d = base_color[:, :3] / jnp.pi
+        geom = cos_s * cos_l * scene.total_light_area / dist2
+        contrib = mask * le * f_d * geom[:, None]
+        use = nee_mask & visible & (cos_s > 0.0)
+        acc = acc + jnp.where(use[:, None], contrib, 0.0)
+        new_skip = nee_mask
+
     if cfg.use_microfacet:
         weight, ldir_t, seed = bsdf.heitz_sample(
             base_color[:, :3], view, roughness, transmission, ior,
@@ -246,7 +288,8 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     boost = rr & ~kill
     mask = jnp.where(boost[:, None], mask / q[:, None], mask)
 
-    return origin, direction, acc, mask, alive, seed
+    skip_emit = jnp.where(alive, new_skip, skip_emit)
+    return origin, direction, acc, mask, alive, seed, skip_emit
 
 
 def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
@@ -268,22 +311,29 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
 
     rays_traced = jnp.zeros((), jnp.float32)
 
+    skip_emit = jnp.zeros((r,), bool)
+
     def bounce_body(bounce, state):
-        origin, direction, acc, mask, alive, seed, rays_traced = state
+        (origin, direction, acc, mask, alive, seed, skip_emit,
+         rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         if use_sort:
             t, obj, tri = sorted_intersect(isect, scene, origin, direction,
                                            cfg.eps)
         else:
             t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
-        origin, direction, acc, mask, alive, seed = shade_step(
+        origin, direction, acc, mask, alive, seed, skip_emit = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri)
-        return origin, direction, acc, mask, alive, seed, rays_traced
+            t, obj, tri, skip_emit=skip_emit, isect=isect)
+        return (origin, direction, acc, mask, alive, seed, skip_emit,
+                rays_traced)
 
-    state = (origin, direction, acc, mask, alive, seed, rays_traced)
+    state = (origin, direction, acc, mask, alive, seed, skip_emit,
+             rays_traced)
     state = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, state)
-    _, _, acc, _, _, seed, rays_traced = state
+    acc = state[2]
+    seed = state[5]
+    rays_traced = state[7]
     return acc, seed, rays_traced
 
 

@@ -181,8 +181,18 @@ class ProgressiveRenderer:
     # -- output ---------------------------------------------------------
 
     def image(self) -> jnp.ndarray:
-        """Tonemapped display image (tex_to_quad.frag transform)."""
-        return tonemap(self.accum, max(self.sample_count, 1),
+        """Tonemapped display image (tex_to_quad.frag transform).
+
+        With render_scale > 1 the supersampled accumulation buffer is
+        box-filtered down to the window size before tonemapping (the
+        reference minifies via the sampler's bilinear filter,
+        src/RendererPT.cpp:254-255)."""
+        accum = self.accum
+        s = self.config.render_scale
+        if s > 1:
+            h, w = self.config.height, self.config.width
+            accum = accum.reshape(h, s, w, s, 3).mean(axis=(1, 3))
+        return tonemap(accum, max(self.sample_count, 1),
                        exposure=self.config.exposure,
                        gamma=self.config.gamma)
 

@@ -85,6 +85,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         seed=jnp.zeros((p, 2), jnp.uint32),
         alive=jnp.zeros((p,), bool),
         pending=jnp.zeros((p,), bool),
+        skip_emit=jnp.zeros((p,), bool),
         bounce=jnp.zeros((p,), jnp.int32),
         pixid=jnp.zeros((p,), jnp.int32),
         next_work=jnp.zeros((), jnp.int32),
@@ -103,6 +104,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         origin, direction = st["origin"], st["direction"]
         mask, acc, seed = st["mask"], st["acc"], st["seed"]
         alive, pending = st["alive"], st["pending"]
+        skip_emit = st["skip_emit"]
         bounce, pixid = st["bounce"], st["pixid"]
         next_work, accum = st["next_work"], st["accum"]
 
@@ -129,6 +131,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         pixid = jnp.where(valid, pixi, pixid)
         alive = alive | valid
         pending = pending | valid
+        skip_emit = skip_emit & ~valid
         next_work = jnp.minimum(
             next_work + jnp.sum(dead.astype(jnp.int32)), total)
 
@@ -143,7 +146,8 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 _bitcast_f(pixid)[:, None],
                 _bitcast_f(alive.astype(jnp.int32))[:, None],
                 _bitcast_f(pending.astype(jnp.int32))[:, None],
-            ], axis=1)  # [P, 18]
+                _bitcast_f(skip_emit.astype(jnp.int32))[:, None],
+            ], axis=1)  # [P, 19]
             _, perm = jax.lax.sort_key_val(
                 key, jnp.arange(p, dtype=jnp.int32))
             packed = jnp.take(packed, perm, axis=0)  # one wide gather
@@ -156,14 +160,15 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             pixid = _bitcast_i(packed[:, 15])
             alive = _bitcast_i(packed[:, 16]) != 0
             pending = _bitcast_i(packed[:, 17]) != 0
+            skip_emit = _bitcast_i(packed[:, 18]) != 0
 
         # ---- intersect + shade ----------------------------------------
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
         t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
         shaded_alive = alive
-        origin, direction, acc, mask, alive, seed = shade_step(
+        origin, direction, acc, mask, alive, seed, skip_emit = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri)
+            t, obj, tri, skip_emit=skip_emit, isect=isect)
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
         alive = alive & (bounce < cfg.max_depth)
 
@@ -173,7 +178,8 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         pending = pending & alive
 
         return dict(origin=origin, direction=direction, mask=mask, acc=acc,
-                    seed=seed, alive=alive, pending=pending, bounce=bounce,
+                    seed=seed, alive=alive, pending=pending,
+                    skip_emit=skip_emit, bounce=bounce,
                     pixid=pixid, next_work=next_work, accum=accum,
                     rays=rays, it=st["it"] + 1)
 

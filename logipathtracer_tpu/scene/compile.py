@@ -161,6 +161,44 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     tex_atlas, tex_table = _pack_textures(gltf)
 
+    # Emissive-triangle table (NEE light sampling — beyond reference).
+    light_rows = []
+    for o in range(num_objects):
+        if obj_emission[o].max() <= 0:
+            continue
+        v0b = int(obj_vtx_offset[o])
+        # Triangle count of object o = span until the next offset.
+        spans = np.sort(obj_vtx_offset.astype(np.int64))
+        nxt = {int(a): int(b) for a, b in zip(
+            spans, list(spans[1:]) + [vtx_pos.shape[0]])}
+        tcount = (nxt[v0b] - v0b) // 3
+        tri = vtx_pos[v0b:v0b + 3 * tcount].reshape(tcount, 3, 3)
+        m = obj_world[o]
+        tw = tri @ m[:3, :3].T + m[:3, 3]
+        e1 = tw[:, 1] - tw[:, 0]
+        e2 = tw[:, 2] - tw[:, 0]
+        cr = np.cross(e1, e2)
+        area = 0.5 * np.linalg.norm(cr, axis=1)
+        for k in range(tcount):
+            if area[k] <= 0:
+                continue
+            row = np.zeros(16, np.float32)
+            row[0:3] = tw[k, 0]
+            row[3:6] = e1[k]
+            row[6:9] = e2[k]
+            row[9:12] = obj_emission[o]
+            row[12] = area[k]
+            light_rows.append(row)
+    if light_rows:
+        light_tris = np.stack(light_rows)
+        areas = light_tris[:, 12]
+        total_area = float(areas.sum())
+        light_cdf = (np.cumsum(areas) / areas.sum()).astype(np.float32)
+    else:
+        light_tris = np.zeros((1, 16), np.float32)
+        light_cdf = np.ones((1,), np.float32)
+        total_area = 0.0
+
     # Clustered sweep arrays (built from a lightweight stand-in SoA view
     # so clusters.py can run before the SceneSoA exists).
     from logipathtracer_tpu.scene.clusters import build_clusters
@@ -247,6 +285,10 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         obj_shade=obj_shade,
         world_aabb=np.stack([np.stack(obj_world_aabb_min).min(axis=0),
                              np.stack(obj_world_aabb_max).max(axis=0)]),
+        light_tris=light_tris,
+        light_cdf=light_cdf,
+        num_lights=len(light_rows),
+        total_light_area=total_area,
         num_objects=num_objects,
         num_triangles=vtx_pos.shape[0] // 3,
         max_stack=max_stack,

@@ -98,12 +98,21 @@ class SceneSoA:
 
     world_aabb: Any       # [2, 3] f32 scene bounds (ray sort-key range)
 
+    # Emissive-triangle table for next-event estimation (a capability
+    # BEYOND the reference, which only collects emission on BSDF-sampled
+    # hits — path_tracing.comp:269; gated by RenderConfig.nee).
+    light_tris: Any       # [L, 16] f32: v0w(3) e1w(3) e2w(3) Le(3)
+                          #              area(1) pad(3); world space
+    light_cdf: Any        # [L] f32 cumulative area / total_area
+
     # Static metadata (aux_data, not traced).
     num_objects: int = 0
     num_triangles: int = 0
     max_stack: int = 16
     leaf_width: int = 4   # max triangles per leaf (static unroll width)
     has_textures: bool = False
+    num_lights: int = 0
+    total_light_area: float = 0.0
     cluster_size: int = 128
     cameras: tuple = ()
     name: str = ""
@@ -118,9 +127,11 @@ class SceneSoA:
         "tex_atlas", "tex_table",
         "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
+        "light_tris", "light_cdf",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
-                      "leaf_width", "has_textures", "cluster_size",
+                      "leaf_width", "has_textures", "num_lights",
+                      "total_light_area", "cluster_size",
                       "cameras", "name")
 
 
