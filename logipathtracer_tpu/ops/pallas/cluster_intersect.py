@@ -109,11 +109,12 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
 
     jax.lax.fori_loop(0, num_objects, obj_body, 0)
 
-    best_t[:] = jnp.full((tile,), INF)
-    best_tri[:] = jnp.full((tile,), -1, jnp.int32)
-    best_obj[:] = jnp.full((tile,), -1, jnp.int32)
+    sub_n = tile // 128
+    best_t[:] = jnp.full((sub_n, 128), INF)
+    best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
+    best_obj[:] = jnp.full((sub_n, 128), -1, jnp.int32)
 
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, lanes), 1)
+    sub_slot_ids = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 1)
 
     # Tile direction octant (rays are octant-major sorted): pick the
     # front-to-back cluster order so best_t pruning culls far clusters.
@@ -134,33 +135,49 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
         ldz = lray[obj, 5, :]
         amin = (aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2])
         amax = (aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5])
-        bt = best_t[:]
+        bt = best_t[:].reshape(tile)
         hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
 
         @pl.when(jnp.any(hit))
         def _():
             trib = tris_ref[c]
-            t = _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps)
-            bt2 = best_t[:]
-            ok = (t > eps) & (t < bt2[:, None])
-            t = jnp.where(ok, t, INF)
-            tmin = jnp.min(t, axis=1)
-            # argmin via first-match select (Mosaic-friendly).
-            is_min = (t == tmin[:, None]) & (tmin[:, None] < INF)
-            slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
-            upd = tmin < bt2
-            best_t[:] = jnp.where(upd, tmin, bt2)
-            best_tri[:] = jnp.where(upd, tri_base + slot, best_tri[:])
-            best_obj[:] = jnp.where(upd, obj, best_obj[:])
+            sub_n = tile // 128
+            # Sub-tile masking: sorted rays make cluster hits clumpy, so
+            # most 128-ray sub-tiles of a fired cluster can still be
+            # skipped (measured ~2.4x fewer MT lanes at tile=1024).
+            # Static unroll; per-ray state lives in [SUB, 128] scratch
+            # so every access has static indices.
+            for sub in range(sub_n):
+                lo_, hi_ = sub * 128, (sub + 1) * 128
+
+                @pl.when(jnp.any(hit[lo_:hi_]))
+                def _(sub=sub, lo_=lo_, hi_=hi_):
+                    t = _mt_cluster(lox[lo_:hi_], loy[lo_:hi_],
+                                    loz[lo_:hi_], ldx[lo_:hi_],
+                                    ldy[lo_:hi_], ldz[lo_:hi_],
+                                    trib, eps)
+                    bt2 = best_t[sub, :]
+                    ok = (t > eps) & (t < bt2[:, None])
+                    t = jnp.where(ok, t, INF)
+                    tmin = jnp.min(t, axis=1)
+                    # argmin via first-match select (Mosaic-friendly).
+                    is_min = (t == tmin[:, None]) & (tmin[:, None] < INF)
+                    slot = jnp.min(
+                        jnp.where(is_min, sub_slot_ids, lanes), axis=1)
+                    upd = tmin < bt2
+                    best_t[sub, :] = jnp.where(upd, tmin, bt2)
+                    best_tri[sub, :] = jnp.where(
+                        upd, tri_base + slot, best_tri[sub, :])
+                    best_obj[sub, :] = jnp.where(upd, obj,
+                                                 best_obj[sub, :])
 
         return 0
 
     jax.lax.fori_loop(0, num_clusters, cl_body, 0)
 
-    sub = tile // 128
-    t_out[0] = best_t[:].reshape(sub, 128)
-    tri_out[0] = best_tri[:].reshape(sub, 128)
-    obj_out[0] = best_obj[:].reshape(sub, 128)
+    t_out[0] = best_t[:]
+    tri_out[0] = best_tri[:]
+    obj_out[0] = best_obj[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "eps", "interpret"))
@@ -218,9 +235,9 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
         ],
         scratch_shapes=[
             pltpu.VMEM((o, 6, tile), jnp.float32),   # local rays
-            pltpu.VMEM((tile,), jnp.float32),        # best_t
-            pltpu.VMEM((tile,), jnp.int32),          # best_tri
-            pltpu.VMEM((tile,), jnp.int32),          # best_obj
+            pltpu.VMEM((tile // 128, 128), jnp.float32),  # best_t
+            pltpu.VMEM((tile // 128, 128), jnp.int32),    # best_tri
+            pltpu.VMEM((tile // 128, 128), jnp.int32),    # best_obj
         ],
         interpret=interpret,
     )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
