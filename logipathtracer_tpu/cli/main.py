@@ -44,6 +44,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--camera", type=int, default=0, help="camera index")
     p.add_argument("--leaf-size", type=int, default=4)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR "
+                        "(SURVEY.md §5.1 instrumentation)")
 
 
 def _build(args):
@@ -76,6 +79,11 @@ def cmd_render(args) -> int:
         r.restore(args.resume)
         log.info("resumed from %s at %d samples", args.resume,
                  r.sample_count)
+    profiler = None
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
     t0 = time.perf_counter()
     while r.sample_count < args.spp:
         batch = min(args.checkpoint_every or args.spp,
@@ -87,6 +95,10 @@ def cmd_render(args) -> int:
                  r.sample_count, args.spp, r.samples_per_sec(),
                  r.mrays_per_sec())
     wall = time.perf_counter() - t0
+    if profiler:
+        import jax
+        jax.profiler.stop_trace()
+        log.info("profiler trace in %s", profiler)
     img = to_uint8(np.asarray(r.image()))
     write_png(args.output, img)
     log.info("wrote %s", args.output)

@@ -40,14 +40,31 @@ from logipathtracer_tpu.ops.traverse import (intersect_scene,
                                              intersect_scene_sweep)
 
 
-def pick_intersect(cfg: RenderConfig):
-    """Select the intersection backend (static per config).
+# The sweep kernel holds all cluster triangles in VMEM (~16 MB/core);
+# scenes beyond this stream from HBM in a future revision and fall back
+# to the while-loop walk for now.
+SWEEP_VMEM_BUDGET = 10 * 2 ** 20
 
-    'auto' uses the Pallas cluster sweep on TPU and the while-loop BVH
-    walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4)."""
+
+def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
     mode = cfg.intersect
     if mode == "auto":
         mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
+    if mode == "sweep" and scene is not None:
+        # cl_tris pads 9 component rows to 16 sublanes in VMEM.
+        c, _, lanes = scene.cl_tris.shape
+        vmem = c * 16 * lanes * 4
+        if vmem > SWEEP_VMEM_BUDGET:
+            mode = "bvh"
+    return mode
+
+
+def pick_intersect(cfg: RenderConfig, scene=None):
+    """Select the intersection backend (static per config/scene shapes).
+
+    'auto' uses the Pallas cluster sweep on TPU and the while-loop BVH
+    walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4)."""
+    mode = resolve_intersect_mode(cfg, scene)
     if mode == "bvh":
         return intersect_scene
     if mode == "sweep":
@@ -299,10 +316,8 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
 
     Returns (radiance [R, 3], seed', rays_traced).
     """
-    isect = intersect_fn or pick_intersect(cfg)
-    mode = cfg.intersect
-    if mode == "auto":
-        mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
+    isect = intersect_fn or pick_intersect(cfg, scene)
+    mode = resolve_intersect_mode(cfg, scene)
     use_sort = (cfg.sort_rays and mode != "bvh" and intersect_fn is None)
     r = origin.shape[0]
     acc = jnp.zeros((r, 3), jnp.float32)

@@ -75,7 +75,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             py = pixi // w
         return px.astype(jnp.float32), py.astype(jnp.float32)
 
-    isect = pick_intersect(cfg)
+    isect = pick_intersect(cfg, scene)
 
     state = dict(
         origin=jnp.zeros((p, 3)),
