@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     r = ProgressiveRenderer(scene, cfg, host_seed=0)
     # Warmup chunk = timed chunk so the wavefront path (whose jit key
     # includes the per-step seed-batch shape) compiles exactly once.
-    chunk = max(1, min(4, samples))
+    chunk = max(1, min(8, samples))
     t0 = time.perf_counter()
     r.step(chunk)
     warmup_s = time.perf_counter() - t0

@@ -15,6 +15,26 @@ from logipathtracer_tpu.config import RenderConfig
 from logipathtracer_tpu.scene.gltf import load_gltf
 from logipathtracer_tpu.scene.compile import compile_scene
 
+
+def __getattr__(name):
+    # Lazy: the renderers import jax-heavy modules.
+    if name == "ProgressiveRenderer":
+        from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+        return ProgressiveRenderer
+    if name == "MeshRenderer":
+        from logipathtracer_tpu.parallel.mesh import MeshRenderer
+        return MeshRenderer
+    if name == "render_wavefront":
+        from logipathtracer_tpu.render.wavefront import render_wavefront
+        return render_wavefront
+    if name == "render_sample":
+        from logipathtracer_tpu.render.megakernel import render_sample
+        return render_sample
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["RenderConfig", "load_gltf", "compile_scene", "__version__"]
+__all__ = ["RenderConfig", "load_gltf", "compile_scene",
+           "ProgressiveRenderer", "MeshRenderer", "render_wavefront",
+           "render_sample", "__version__"]
