@@ -140,6 +140,19 @@ def _ansi_frame(img: np.ndarray) -> str:
 
 def cmd_view(args) -> int:
     cfg, scene, r = _build(args)
+
+    if args.frames:
+        # Non-interactive demo/smoke mode: render N progressive frames,
+        # print the last one as ANSI, exit (no tty needed).
+        for i in range(args.frames):
+            r.step(1)
+            if args.orbit:
+                r.rotate(1, args.orbit)
+        sys.stdout.write(_ansi_frame(np.asarray(r.image())) + "\x1b[0m\n")
+        print(f"spp {r.sample_count}  {r.samples_per_sec():.2f} samples/s  "
+              f"{r.mrays_per_sec():.2f} Mrays/s")
+        return 0
+
     import select
     import termios
     import tty
@@ -215,6 +228,10 @@ def main(argv=None) -> int:
 
     pv = sub.add_parser("view", help="interactive terminal viewer")
     _add_common(pv)
+    pv.add_argument("--frames", type=int, default=0,
+                    help="non-interactive: render N frames and exit")
+    pv.add_argument("--orbit", type=float, default=0.0,
+                    help="with --frames: rotate camera per frame (rad)")
     pv.set_defaults(fn=cmd_view)
 
     pc = sub.add_parser("compare",
