@@ -36,7 +36,7 @@ def main(argv=None) -> int:
 
     width = args.width or (128 if args.quick else 1024)
     height = args.height or (128 if args.quick else 1024)
-    samples = args.samples or (2 if args.quick else 16)
+    samples = args.samples or (2 if args.quick else 32)
 
     import jax
 
@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     r = ProgressiveRenderer(scene, cfg, host_seed=0)
     # Warmup chunk = timed chunk so the wavefront path (whose jit key
     # includes the per-step seed-batch shape) compiles exactly once.
-    chunk = max(1, min(8, samples))
+    chunk = max(1, min(16, samples))
     t0 = time.perf_counter()
     r.step(chunk)
     warmup_s = time.perf_counter() - t0
