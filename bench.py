@@ -18,6 +18,38 @@ import time
 NORTH_STAR_MRAYS = 100.0
 
 
+def _ray_query_mrays(scene, cfg) -> float:
+    """Intersect-only throughput on sorted primary rays (config 4)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    from logipathtracer_tpu.render.megakernel import (pick_intersect,
+                                                      sorted_intersect)
+
+    h, w = cfg.render_height, cfg.render_width
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    o, d, _ = generate_ray(jnp.asarray(scene.cameras[0].world_matrix),
+                           jnp.float32(scene.cameras[0].yfov), pix,
+                           (w, h), seed)
+    isect = pick_intersect(cfg, scene)
+    f = jax.jit(lambda oo, dd: sorted_intersect(isect, scene, oo, dd,
+                                                cfg.eps)[0].sum()[None])
+    float(np.asarray(f(o, d))[0])  # compile
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(np.asarray(f(o, d))[0])
+    return n * h * w / (time.perf_counter() - t0) / 1e6
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -68,12 +100,18 @@ def main(argv=None) -> int:
     mrays = rays_per_sample * samples / wall / 1e6
     spp_per_sec = samples / wall
 
+    # Ray-query workload (BASELINE config 4): closest-hit only on a
+    # sorted full-frame primary wavefront — the RTX-backend-parity
+    # number, no shading attached.
+    rq_mrays = _ray_query_mrays(scene, cfg)
+
     result = {
         "metric": "mrays_per_sec_chip_cornell",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "extras": {
+            "ray_query_mrays_per_sec": round(rq_mrays, 1),
             "device": str(jax.devices()[0]),
             "resolution": f"{width}x{height}",
             "spp_timed": samples,
