@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -43,7 +44,7 @@ def _ray_query_mrays(scene, cfg) -> float:
     f = jax.jit(lambda oo, dd: sorted_intersect(isect, scene, oo, dd,
                                                 cfg.eps)[0].sum()[None])
     float(np.asarray(f(o, d))[0])  # compile
-    n = 3
+    n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         float(np.asarray(f(o, d))[0])
@@ -62,15 +63,22 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
+    import jax
+
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+
+    # Persistent XLA compile cache (same as tests/conftest.py): remote
+    # TPU AOT compiles run 100-300 s per kernel shape; caching makes
+    # warm bench runs pay seconds, not minutes, of warmup.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     width = args.width or (128 if args.quick else 1024)
     height = args.height or (128 if args.quick else 1024)
     samples = args.samples or (2 if args.quick else 32)
-
-    import jax
 
     from logipathtracer_tpu.config import RenderConfig
     from logipathtracer_tpu.render.progressive import ProgressiveRenderer
