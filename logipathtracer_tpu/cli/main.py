@@ -50,9 +50,18 @@ def _add_common(p: argparse.ArgumentParser):
 
 
 def _build(args):
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compile cache: remote TPU AOT compiles cost
+    # 100-300 s per new render graph; cached reruns pay seconds.
+    cache = os.environ.get(
+        "LPT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "lpt_xla"))
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = RenderConfig(width=args.width, height=args.height,
                        render_scale=args.render_scale,
                        max_depth=args.max_depth,
@@ -75,7 +84,7 @@ def _build(args):
 
 def cmd_render(args) -> int:
     cfg, scene, r = _build(args)
-    if args.resume and os.path.exists(args.resume):
+    if args.resume and os.path.exists(r.checkpoint_path(args.resume)):
         r.restore(args.resume)
         log.info("resumed from %s at %d samples", args.resume,
                  r.sample_count)

@@ -44,6 +44,7 @@ from logipathtracer_tpu.ops.traverse import (intersect_scene,
 # scenes beyond this stream from HBM in a future revision and fall back
 # to the while-loop walk for now.
 SWEEP_VMEM_BUDGET = 10 * 2 ** 20
+SWEEP_SMEM_BUDGET = 512 * 2 ** 10  # scalar-memory tables (meta/inv/order)
 
 
 def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
@@ -51,10 +52,19 @@ def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
     if mode == "auto":
         mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
     if mode == "sweep" and scene is not None:
-        # cl_tris pads 9 component rows to 16 sublanes in VMEM.
+        # cl_tris pads 9 component rows to 16 sublanes in VMEM, plus the
+        # kernel's own scratch: per-object local rays [O, 6, tile], the
+        # [8, tile] ray block, and 3 [tile/128, 128] best-hit buffers.
         c, _, lanes = scene.cl_tris.shape
-        vmem = c * 16 * lanes * 4
-        if vmem > SWEEP_VMEM_BUDGET:
+        o = scene.num_objects
+        tile = cfg.sweep_tile
+        vmem = (c * 16 * lanes * 4         # triangles
+                + o * 6 * tile * 4         # local-ray scratch
+                + 8 * tile * 4             # ray block
+                + 6 * tile * 4)            # best t/tri/obj (+outputs)
+        # SMEM tables: meta [C,2], inv [O,12], order [8,C], aabb [C,8].
+        smem = (c * 2 + o * 12 + 8 * c + c * 8) * 4
+        if vmem > SWEEP_VMEM_BUDGET or smem > SWEEP_SMEM_BUDGET:
             mode = "bvh"
     return mode
 

@@ -202,7 +202,14 @@ class ProgressiveRenderer:
 
     # -- checkpoint / resume (SURVEY.md §5.4) ----------------------------
 
+    @staticmethod
+    def checkpoint_path(path: str) -> str:
+        """np.savez appends '.npz' to extension-less paths; normalize so
+        checkpoint/restore/exists all name the same file."""
+        return path if path.endswith(".npz") else path + ".npz"
+
     def checkpoint(self, path: str):
+        path = self.checkpoint_path(path)
         st = self._host_rng.bit_generator.state["state"]
         np.savez(path, accum=np.asarray(self.accum),
                  sample_count=self.sample_count,
@@ -213,7 +220,7 @@ class ProgressiveRenderer:
                  rng_inc=np.str_(str(st["inc"])))
 
     def restore(self, path: str):
-        data = np.load(path)
+        data = np.load(self.checkpoint_path(path))
         self.accum = jnp.asarray(data["accum"])
         self.sample_count = int(data["sample_count"])
         self.total_rays = float(data["total_rays"])

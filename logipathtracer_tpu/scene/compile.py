@@ -384,7 +384,39 @@ def _fuse_bvh(obvh: BVH, mesh_bvhs: list[BVH], obj_bvh_offset, obj_vtx_offset,
         fused_min[0] = fused_min[root]
         fused_max[0] = fused_max[root]
         fused_meta[0] = fused_meta[root]
+
+    # Loud guard: the device walk silently clamps pushes at max_stack-1
+    # (ops/traverse.py), so an undersized bound would corrupt results.
+    # Verify the exact worst case (pop 1, push 2) on the fused tree.
+    need = _exact_stack_need(fused_meta)
+    if need > max_stack:
+        raise ValueError(
+            f"fused BVH needs stack {need} > max_stack {max_stack}; "
+            "builder emitted a deeper tree than its depth accounting")
     return fused_min, fused_max, fused_meta, int(max_stack)
+
+
+def _exact_stack_need(fused_meta: np.ndarray) -> int:
+    """Exact peak stack occupancy of the traversal in ops/traverse.py:
+    pop one node, push up to two children.  Peak after pushing both
+    children of a node with ``pending`` entries below it is pending+2;
+    iterative DFS over inner nodes."""
+    peak = 1  # root pre-pushed
+    stack = [(0, 0)]  # (node, entries pending beneath it when popped)
+    seen = set()
+    while stack:
+        node, pending = stack.pop()
+        if node in seen:       # redirected root aliasing
+            continue
+        seen.add(node)
+        kind, a, b, _ = fused_meta[node]
+        if kind != 0:
+            continue
+        peak = max(peak, pending + 2)
+        # Children are popped with pending and pending+1 beneath them.
+        stack.append((int(b), pending))
+        stack.append((int(a), pending + 1))
+    return peak
 
 
 def _pack_textures(gltf: Gltf):

@@ -169,6 +169,10 @@ def _read_accessor(doc: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     if acc.get("normalized") and dtype != np.float32:
         info = np.iinfo(dtype)
         out = (out.astype(np.float32) / info.max).astype(np.float32)
+        if info.min < 0:
+            # glTF 2.0 signed normalization: max(v / maxval, -1.0), so
+            # e.g. int16 -32768 maps to exactly -1.0.
+            out = np.maximum(out, np.float32(-1.0))
     if ncomp == 1:
         return out[:, 0]
     return out

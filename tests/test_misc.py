@@ -62,3 +62,50 @@ def test_ray_sort_key_locality(cornell_scene):
     hop_sorted = np.linalg.norm(np.diff(so, axis=0), axis=1).mean()
     hop_random = np.linalg.norm(np.diff(o, axis=0), axis=1).mean()
     assert hop_sorted < 0.6 * hop_random
+
+
+def test_checkpoint_path_normalized(tmp_path, cornell_scene):
+    """Extension-less checkpoint paths resolve to the .npz file np.savez
+    actually writes, so resume finds its own checkpoints."""
+    import os
+
+    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+
+    cfg = RenderConfig(width=8, height=8, max_depth=1, renderer="megakernel")
+    r = ProgressiveRenderer(cornell_scene, cfg, host_seed=3)
+    r.step(1)
+    p = str(tmp_path / "ckpt")          # no extension
+    r.checkpoint(p)
+    assert os.path.exists(r.checkpoint_path(p))
+    r2 = ProgressiveRenderer(cornell_scene, cfg, host_seed=99)
+    r2.restore(p)
+    assert r2.sample_count == 1
+    np.testing.assert_array_equal(np.asarray(r2.accum), np.asarray(r.accum))
+
+
+def test_signed_normalized_accessor_clamps_to_minus_one():
+    """glTF signed-normalized decode: max(v/maxval, -1) per the spec, so
+    int16 -32768 is exactly -1.0, not -1.00003."""
+    import base64
+
+    from logipathtracer_tpu.scene.gltf import _read_accessor
+
+    vals = np.array([-32768, -16384, 0, 32767], np.int16)
+    doc = {
+        "bufferViews": [{"buffer": 0, "byteOffset": 0}],
+        "accessors": [{"componentType": 5122, "type": "SCALAR",
+                       "count": 4, "bufferView": 0, "normalized": True}],
+    }
+    out = _read_accessor(doc, [vals.tobytes()], 0)
+    assert out[0] == -1.0
+    assert out[-1] == 1.0
+    assert (out >= -1.0).all() and (out <= 1.0).all()
+
+
+def test_fused_stack_bound_is_validated(cornell_scene):
+    """The compile-time stack guard: exact traversal need never exceeds
+    the static max_stack the device walk allocates."""
+    from logipathtracer_tpu.scene.compile import _exact_stack_need
+
+    need = _exact_stack_need(np.asarray(cornell_scene.fused_meta))
+    assert need <= cornell_scene.max_stack
