@@ -62,8 +62,12 @@ class RenderConfig:
     sweep_tile: int = 1024        # rays per Pallas sweep tile
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
-    parity_rng: bool = True       # bit-faithful LCG-hash RNG
-                                  # (shaders/common/random.glsl:9-15)
+    parity_rng: bool = True       # True: bit-faithful LCG-hash RNG
+                                  # (shaders/common/random.glsl:9-15,
+                                  # incl. its degenerate zero streams);
+                                  # False: Threefry-2x32 counter RNG
+                                  # (ops/rng.py — quality path, breaks
+                                  # reference parity)
 
     @property
     def render_width(self) -> int:

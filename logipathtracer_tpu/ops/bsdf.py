@@ -35,7 +35,8 @@ LOBE_METALLIC = 1
 LOBE_TRANSMISSION = 2
 
 
-def determine_interaction(metallic, transmission, seed, active):
+def determine_interaction(metallic, transmission, seed, active,
+                          rand=rand_parity_masked):
     """One-sample lobe selection (heitz/interaction_type.glsl:10-29).
 
     Returns (lobe [...], seed'). Consumes 1 rand on active lanes.
@@ -46,7 +47,7 @@ def determine_interaction(metallic, transmission, seed, active):
     norm = 1.0 / (metallic_w + transmission_w + dielectric_w)
     metallic_w = metallic_w * norm
     transmission_w = transmission_w * norm
-    r, seed = rand_parity_masked(seed, active)
+    r, seed = rand(seed, active)
     lobe = jnp.where(
         r < metallic_w, LOBE_METALLIC,
         jnp.where(r < metallic_w + transmission_w, LOBE_TRANSMISSION,
@@ -133,7 +134,8 @@ def _concentric_disk(r1, r2):
 
 
 def heitz_sample(base_color, view_dir, roughness, transmission, ior,
-                 outside, lobe, seed, active, max_order: int = 16):
+                 outside, lobe, seed, active, max_order: int = 16,
+                 rand=rand_parity_masked):
     """Fused Heitz random walk for all three lobes.
 
     Args:
@@ -171,7 +173,7 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
         below = is_trans & ~walk_outside
         h_dir = jnp.where(below[..., None], -light_dir, light_dir)
         h_in = jnp.where(below, -height, height)
-        r_h, seed = rand_parity_masked(seed, walking)
+        r_h, seed = rand(seed, walking)
         h_raw = sample_ggx_height(h_dir, h_in, alpha, r_h)
         h_new = jnp.where(below, -h_raw, h_raw)
         left = jnp.where(below, h_new < 0.0, h_new > 0.0)
@@ -181,8 +183,8 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
 
         # --- shared VNDF micro-normal: 2 rands on continuing lanes ----
         wo = -light_dir
-        r1, seed = rand_parity_masked(seed, cont)
-        r2, seed = rand_parity_masked(seed, cont)
+        r1, seed = rand(seed, cont)
+        r2, seed = rand(seed, cont)
         micro = sample_vndf(wo, alpha, r1, r2)
         vdoth = jnp.sum(wo * micro, axis=-1)
 
@@ -198,8 +200,8 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
         du = jnp.where((micro[..., 2] < 1.0)[..., None], _normalize(du_raw),
                        z.at[..., 0].set(1.0))
         dv = jnp.cross(micro, du)
-        rd1, seed = rand_parity_masked(seed, d_mask)
-        rd2, seed = rand_parity_masked(seed, d_mask)
+        rd1, seed = rand(seed, d_mask)
+        rd2, seed = rand(seed, d_mask)
         radius, phi = _concentric_disk(2.0 * rd1 - 1.0, 2.0 * rd2 - 1.0)
         dx = radius * jnp.cos(phi)
         dy = radius * jnp.sin(phi)
@@ -210,7 +212,7 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
         t_mask = cont & is_trans
         eta = jnp.where(walk_outside, ior_in / ior_out, ior_out / ior_in)
         fres = fresnel_dielectric(vdoth, eta)
-        r_f, seed = rand_parity_masked(seed, t_mask)
+        r_f, seed = rand(seed, t_mask)
         reflect_choice = r_f < fres
         refl_t = 2.0 * micro * vdoth[..., None] - wo
         refr_t = _normalize(refract_eta(wo, micro, eta))
@@ -262,7 +264,7 @@ def _glsl_refract(i, n, eta):
 
 
 def basic_sample(base_color, view_dir, transmission, ior, outside,
-                 lobe, seed, active):
+                 lobe, seed, active, rand=rand_parity_masked):
     """Fused basic lobes (basic/BSDF.glsl:3-49).
 
     diffuse: cosine hemisphere (2 rands); specular: mirror about +z
@@ -277,8 +279,8 @@ def basic_sample(base_color, view_dir, transmission, ior, outside,
     z_axis = jnp.zeros_like(view_dir).at[..., 2].set(1.0)
 
     # Diffuse (2 rands).
-    r1, seed = rand_parity_masked(seed, is_diff)
-    r2, seed = rand_parity_masked(seed, is_diff)
+    r1, seed = rand(seed, is_diff)
+    r2, seed = rand(seed, is_diff)
     phi = 2.0 * PI * r1
     r2s = jnp.sqrt(r2)
     diff_dir = jnp.stack([jnp.cos(phi) * r2s, jnp.sin(phi) * r2s,
@@ -303,7 +305,7 @@ def basic_sample(base_color, view_dir, transmission, ior, outside,
     coef_para = (nt * cos_inc - nc * cos_tra) / (nt * cos_inc + nc * cos_tra)
     coef_perp = (nc * cos_inc - nt * cos_tra) / (nc * cos_inc + nt * cos_tra)
     re = (coef_para * coef_para + coef_perp * coef_perp) * 0.5
-    r_t, seed = rand_parity_masked(seed, is_trans)
+    r_t, seed = rand(seed, is_trans)
     reflect_choice = r_t < re
     trans_dir = jnp.where(reflect_choice[..., None],
                           _reflect(-view_dir, normal), tdir)

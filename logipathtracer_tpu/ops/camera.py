@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from logipathtracer_tpu.ops.rng import rand_parity_masked
 
 
-def generate_ray(cam_world, fov_y, pixel_xy, resolution, seed, active=None):
+def generate_ray(cam_world, fov_y, pixel_xy, resolution, seed, active=None,
+                 rand=rand_parity_masked):
     """Tent-jittered primary rays.
 
     cam_world: [4, 4] camera world matrix (column-vector convention;
@@ -29,8 +30,8 @@ def generate_ray(cam_world, fov_y, pixel_xy, resolution, seed, active=None):
         active = jnp.ones(pixel_xy.shape[:-1], bool)
     res = jnp.asarray(resolution, jnp.float32)
 
-    r1, seed = rand_parity_masked(seed, active)
-    r2, seed = rand_parity_masked(seed, active)
+    r1, seed = rand(seed, active)
+    r2, seed = rand(seed, active)
     r1 = 2.0 * r1
     r2 = 2.0 * r2
     jx = jnp.where(r1 < 1.0, jnp.sqrt(r1) - 1.0, 1.0 - jnp.sqrt(2.0 - r1))

@@ -34,7 +34,7 @@ from logipathtracer_tpu.ops import bsdf
 from logipathtracer_tpu.ops.camera import generate_ray
 from logipathtracer_tpu.ops.intersect import (INF, barycentric,
                                               transform_dir, transform_point)
-from logipathtracer_tpu.ops.rng import rand_parity_masked, seed_from_pixel
+from logipathtracer_tpu.ops.rng import get_rand, seed_from_pixel
 from logipathtracer_tpu.ops.texture import sample_atlas
 from logipathtracer_tpu.ops.traverse import (intersect_scene,
                                              intersect_scene_sweep)
@@ -135,7 +135,7 @@ def sorted_intersect(isect, scene, origin, direction, eps):
 
 def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                alive, seed, bounce, t, obj, tri, skip_emit=None,
-               isect=None):
+               isect=None, rand=None):
     """One shading iteration of the traceRay loop
     (path_tracing.comp:219-323), given the intersection results.
 
@@ -147,6 +147,8 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
     Returns (origin, direction, acc, mask, alive, seed, skip_emit').
     """
+    if rand is None:
+        rand = get_rand(cfg.parity_rng)
     if skip_emit is None:
         skip_emit = jnp.zeros(alive.shape, bool)
     miss = alive & (t >= INF)
@@ -208,7 +210,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     base_color = srgb_to_linear(base_color)
 
     lobe, seed = bsdf.determine_interaction(metallic, transmission,
-                                            seed, alive)
+                                            seed, alive, rand=rand)
     acc = acc + jnp.where((alive & ~skip_emit)[:, None],
                           mask * emission, 0.0)
 
@@ -260,9 +262,9 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     new_skip = jnp.zeros_like(skip_emit)
     if cfg.nee and scene.num_lights > 0 and isect is not None:
         nee_mask = alive & (lobe == bsdf.LOBE_DIFFUSE)
-        r1, seed = rand_parity_masked(seed, nee_mask)
-        r2, seed = rand_parity_masked(seed, nee_mask)
-        r3, seed = rand_parity_masked(seed, nee_mask)
+        r1, seed = rand(seed, nee_mask)
+        r2, seed = rand(seed, nee_mask)
+        r3, seed = rand(seed, nee_mask)
         li = jnp.clip(jnp.searchsorted(scene.light_cdf, r1), 0,
                       scene.num_lights - 1)
         row = jnp.take(scene.light_tris, li, axis=0)
@@ -294,11 +296,12 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     if cfg.use_microfacet:
         weight, ldir_t, seed = bsdf.heitz_sample(
             base_color[:, :3], view, roughness, transmission, ior,
-            outside, lobe, seed, alive, max_order=cfg.heitz_max_order)
+            outside, lobe, seed, alive, max_order=cfg.heitz_max_order,
+            rand=rand)
     else:
         weight, ldir_t, seed = bsdf.basic_sample(
             base_color[:, :3], view, transmission, ior,
-            outside, lobe, seed, alive)
+            outside, lobe, seed, alive, rand=rand)
 
     mask = jnp.where(alive[:, None], mask * weight, mask)
     ldir_w = (ldir_t[:, 0:1] * u + ldir_t[:, 1:2] * v
@@ -309,7 +312,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     # Russian roulette (:317-323).
     q = jnp.max(mask, axis=-1)
     rr = alive & (q < cfg.rr_threshold) & (bounce > cfg.rr_bounces)
-    r_rr, seed = rand_parity_masked(seed, rr)
+    r_rr, seed = rand(seed, rr)
     kill = rr & (r_rr > q)
     alive = alive & ~kill
     boost = rr & ~kill
@@ -406,9 +409,10 @@ def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
     else:
         pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
 
-    seed = seed_from_pixel(ubo_seed, pixel_xy)
+    seed = seed_from_pixel(ubo_seed, pixel_xy, parity=cfg.parity_rng)
     origin, direction, seed = generate_ray(
-        cam_world, fov_y, pixel_xy, (w, h), seed)
+        cam_world, fov_y, pixel_xy, (w, h), seed,
+        rand=get_rand(cfg.parity_rng))
     radiance, _, rays = trace_rays(scene, cfg, origin, direction, seed)
 
     if blk is not None:
@@ -443,9 +447,10 @@ def accumulate_sample(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     pixel_xy = jnp.stack([xs, ys], -1).reshape(-1, 2)
-    seed = seed_from_pixel(ubo_seed, pixel_xy)
+    seed = seed_from_pixel(ubo_seed, pixel_xy, parity=cfg.parity_rng)
     origin, direction, seed = generate_ray(
-        cam_world, fov_y, pixel_xy, (w, h), seed)
+        cam_world, fov_y, pixel_xy, (w, h), seed,
+        rand=get_rand(cfg.parity_rng))
     radiance, _, rays = trace_rays(scene, cfg, origin, direction, seed)
     sample = radiance.reshape(h, w, 3)
     return jnp.where(reset, sample, accum + sample), rays

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from logipathtracer_tpu.config import RenderConfig
 from logipathtracer_tpu.ops.camera import generate_ray
-from logipathtracer_tpu.ops.rng import seed_from_pixel
+from logipathtracer_tpu.ops.rng import get_rand, seed_from_pixel
 from logipathtracer_tpu.render.megakernel import (pick_intersect,
                                                   ray_sort_key, shade_step)
 
@@ -117,10 +117,11 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         pixi = jnp.where(valid, item % npix, 0)
         px, py = pix_coords(pixi)
         useed = jnp.take(ubo_seeds, sampi, axis=0)
-        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1))
+        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1),
+                                parity=cfg.parity_rng)
         o_new, d_new, nseed = generate_ray(
             cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
-            active=valid)
+            active=valid, rand=get_rand(cfg.parity_rng))
         vx = valid[:, None]
         origin = jnp.where(vx, o_new, origin)
         direction = jnp.where(vx, d_new, direction)
