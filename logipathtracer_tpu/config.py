@@ -60,6 +60,11 @@ class RenderConfig:
     intersect: str = "auto"       # auto | sweep (Pallas) | sweep_jnp |
                                   # sweep_interpret | bvh (while-loop walk)
     sweep_tile: int = 1024        # rays per Pallas sweep tile
+    shade: str = "auto"           # auto | pallas | shade_interpret | jnp
+                                  # (auto: fused Pallas shading kernel on
+                                  #  TPU for untextured non-NEE Heitz
+                                  #  configs, jnp elsewhere)
+    shade_tile: int = 2048        # rays per Pallas shade tile
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
     parity_rng: bool = True       # True: bit-faithful LCG-hash RNG

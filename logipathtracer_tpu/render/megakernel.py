@@ -133,6 +133,70 @@ def sorted_intersect(isect, scene, origin, direction, eps):
     return t, obj, tri
 
 
+def resolve_shade_mode(cfg: RenderConfig, scene=None) -> str:
+    """Pick the shading backend.  The fused Pallas kernel covers the
+    untextured, non-NEE, Heitz configuration (ops/pallas/shade.py);
+    everything else shades through the jnp oracle path."""
+    mode = cfg.shade
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if mode in ("pallas", "shade_interpret") and scene is not None:
+        if (scene.has_textures or not cfg.use_microfacet
+                or (cfg.nee and scene.num_lights > 0)):
+            mode = "jnp"
+    return mode
+
+
+def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
+                       mask, alive, seed, bounce, t, obj, tri, skip_emit,
+                       interpret: bool):
+    """Pack ray state component-major and run the fused shading kernel
+    (ops/pallas/shade.py).  Same contract as the jnp tail of
+    shade_step."""
+    from logipathtracer_tpu.ops.pallas import shade as ps
+
+    r = origin.shape[0]
+    safe_obj = jnp.maximum(obj, 0)
+    safe_tri = jnp.maximum(tri, 0)
+    oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
+    tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
+    bounce_v = jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (r,))
+
+    bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    rows = jnp.concatenate([
+        origin.T, direction.T, mask.T, acc.T, t[None, :],
+        bf(seed.astype(jnp.int32)).T,
+        bf(alive.astype(jnp.int32))[None, :],
+        bf(skip_emit.astype(jnp.int32))[None, :],
+        bf(bounce_v)[None, :],
+        tshade.T, oshade.T,
+    ], axis=0)  # [IN_K, R]
+
+    tile = min(cfg.shade_tile, r)
+    rp = ((r + tile - 1) // tile) * tile
+    if rp != r:
+        pad = jnp.zeros((rows.shape[0], rp - r), rows.dtype)
+        rows = jnp.concatenate([rows, pad], axis=1)
+
+    env = float(cfg.env_color)
+    cfg_tuple = (env, env, env, float(cfg.eps), float(cfg.rr_threshold),
+                 int(cfg.rr_bounces), int(cfg.heitz_max_order))
+    out = ps.shade_pallas(rows, cfg_tuple,
+                          rand_kind="parity" if cfg.parity_rng
+                          else "threefry",
+                          tile=tile, interpret=interpret)[:, :r]
+
+    bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    origin = out[ps.O_OX:ps.O_OZ + 1].T
+    direction = out[ps.O_DX:ps.O_DZ + 1].T
+    mask = out[ps.O_MR:ps.O_MB + 1].T
+    acc = out[ps.O_AR:ps.O_AB + 1].T
+    seed = bi(out[ps.O_S0:ps.O_S1 + 1]).astype(jnp.uint32).T
+    alive = bi(out[ps.O_ALIVE]) != 0
+    skip_emit = bi(out[ps.O_SKIP]) != 0
+    return origin, direction, acc, mask, alive, seed, skip_emit
+
+
 def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                alive, seed, bounce, t, obj, tri, skip_emit=None,
                isect=None, rand=None):
@@ -151,6 +215,14 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         rand = get_rand(cfg.parity_rng)
     if skip_emit is None:
         skip_emit = jnp.zeros(alive.shape, bool)
+
+    shade_mode = resolve_shade_mode(cfg, scene)
+    if shade_mode in ("pallas", "shade_interpret"):
+        return _shade_step_pallas(
+            scene, cfg, origin, direction, acc, mask, alive, seed,
+            bounce, t, obj, tri, skip_emit,
+            interpret=(shade_mode == "shade_interpret"))
+
     miss = alive & (t >= INF)
     # Reference assigns (not adds) mask*env on miss (:220-223).
     acc = jnp.where(miss[:, None], mask * cfg.env_color, acc)

@@ -1,0 +1,202 @@
+"""Per-stage TPU profile of the wavefront body on real evolving state.
+
+Replays render_wavefront's body stage by stage with explicit syncs at
+bench scale (cornell 1024^2, 1M pool), printing per-stage ms for each
+iteration.  python scripts/stage_profile.py [--iters 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.ops.camera import generate_ray
+from logipathtracer_tpu.ops.rng import get_rand, seed_from_pixel
+from logipathtracer_tpu.render.megakernel import (pick_intersect,
+                                                  ray_sort_key, shade_step)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--shade", default="jnp")
+    ap.add_argument("--res", type=int, default=1024)
+    args = ap.parse_args()
+
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.gltf import load_gltf
+    cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
+                       shade=args.shade)
+    scene = compile_scene(load_gltf(
+        "/root/reference/resources/cornell_box.gltf"), cfg)
+    cam = scene.cameras[0]
+    h = w = args.res
+    npix = h * w
+    p = min(1 << 20, npix)
+    s = 16
+    total = s * npix
+    ubo_seeds = jnp.asarray(np.random.default_rng(0).integers(
+        1, 2 ** 31, (s, 2)), jnp.uint32)
+    isect = pick_intersect(cfg, scene)
+    rand = get_rand(cfg.parity_rng)
+    cam_world = jnp.asarray(cam.world_matrix)
+    fov = jnp.float32(cam.yfov)
+
+    bw, bh = 32, max(cfg.sweep_tile // 32, 1)
+
+    def pix_coords(pixi):
+        per_block = bh * bw
+        blk = pixi // per_block
+        within = pixi % per_block
+        bx = blk % (w // bw)
+        by = blk // (w // bw)
+        return ((bx * bw + within % bw).astype(jnp.float32),
+                (by * bh + within // bw).astype(jnp.float32))
+
+    @jax.jit
+    def regen(origin, direction, mask, acc, seed, alive, pending,
+              skip_emit, bounce, pixid, next_work):
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        item = next_work + rank
+        valid = dead & (item < total)
+        sampi = jnp.where(valid, item // npix, 0)
+        pixi = jnp.where(valid, item % npix, 0)
+        px, py = pix_coords(pixi)
+        useed = jnp.take(ubo_seeds, sampi, axis=0)
+        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1))
+        o_new, d_new, nseed = generate_ray(
+            cam_world, fov, jnp.stack([px, py], -1), (w, h), nseed,
+            active=valid, rand=rand)
+        vx = valid[:, None]
+        return (jnp.where(vx, o_new, origin),
+                jnp.where(vx, d_new, direction),
+                jnp.where(vx, 1.0, mask), jnp.where(vx, 0.0, acc),
+                jnp.where(vx, nseed, seed),
+                jnp.where(valid, 0, bounce),
+                jnp.where(valid, pixi, pixid), alive | valid,
+                pending | valid, skip_emit & ~valid,
+                jnp.minimum(next_work + jnp.sum(dead.astype(jnp.int32)),
+                            total))
+
+    @jax.jit
+    def sort_pool(origin, direction, mask, acc, seed, alive, pending,
+                  skip_emit, bounce, pixid):
+        bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        key = jnp.where(alive, ray_sort_key(scene, origin, direction),
+                        jnp.iinfo(jnp.int32).max)
+        packed = jnp.concatenate([
+            origin, direction, mask, acc, bf(seed.astype(jnp.int32)),
+            bf(bounce)[:, None], bf(pixid)[:, None],
+            bf(alive.astype(jnp.int32))[:, None],
+            bf(pending.astype(jnp.int32))[:, None],
+            bf(skip_emit.astype(jnp.int32))[:, None]], axis=1)
+        _, perm = jax.lax.sort_key_val(key, jnp.arange(p, dtype=jnp.int32))
+        packed = jnp.take(packed, perm, axis=0)
+        return (packed[:, 0:3], packed[:, 3:6], packed[:, 6:9],
+                packed[:, 9:12],
+                bi(packed[:, 12:14]).astype(jnp.uint32),
+                bi(packed[:, 16]) != 0, bi(packed[:, 17]) != 0,
+                bi(packed[:, 18]) != 0, bi(packed[:, 14]),
+                bi(packed[:, 15]))
+
+    @jax.jit
+    def intersect(origin, direction):
+        return isect(scene, origin, direction, eps=cfg.eps)
+
+    @jax.jit
+    def shade(origin, direction, acc, mask, alive, seed, bounce, t,
+              obj, tri, skip_emit):
+        return shade_step(scene, cfg, origin, direction, acc, mask,
+                          alive, seed, bounce, t, obj, tri,
+                          skip_emit=skip_emit, isect=isect, rand=rand)
+
+    @jax.jit
+    def flush(accum, pixid, pending, alive, acc, bounce):
+        alive2 = alive & (bounce < cfg.max_depth)
+        fl = pending & ~alive2
+        accum = accum.at[pixid].add(jnp.where(fl[:, None], acc, 0.0))
+        return accum, pending & alive2, alive2
+
+    # state
+    origin = jnp.zeros((p, 3)); direction = jnp.zeros((p, 3)).at[:, 2].set(1.0)
+    mask = jnp.ones((p, 3)); acc = jnp.zeros((p, 3))
+    seed = jnp.zeros((p, 2), jnp.uint32)
+    alive = jnp.zeros((p,), bool); pending = jnp.zeros((p,), bool)
+    skip_emit = jnp.zeros((p,), bool)
+    bounce = jnp.zeros((p,), jnp.int32); pixid = jnp.zeros((p,), jnp.int32)
+    next_work = jnp.zeros((), jnp.int32)
+    accum = jnp.zeros((npix, 3))
+
+    def sync(x):
+        # Fetch ONE element (block_until_ready does not synchronize
+        # through the axon relay; whole-array fetches cost ~400 ms).
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        float(jnp.sum(leaf.reshape(-1)[0:1].astype(jnp.float32)))
+
+    # measure the sync round-trip floor
+    z = jnp.zeros((4,))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sync(z)
+    floor_ms = (time.perf_counter() - t0) / 10 * 1e3
+    print(f"sync floor: {floor_ms:.1f} ms")
+
+    stages = {k: [] for k in ("regen", "sort", "isect", "shade", "flush")}
+    for it in range(args.iters):
+        t0 = time.perf_counter()
+        out = regen(origin, direction, mask, acc, seed, alive, pending,
+                    skip_emit, bounce, pixid, next_work)
+        sync(out)
+        (origin, direction, mask, acc, seed, bounce, pixid, alive,
+         pending, skip_emit, next_work) = out
+        stages["regen"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        out = sort_pool(origin, direction, mask, acc, seed, alive,
+                        pending, skip_emit, bounce, pixid)
+        sync(out)
+        (origin, direction, mask, acc, seed, alive, pending, skip_emit,
+         bounce, pixid) = out
+        stages["sort"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        t, obj, tri = intersect(origin, direction)
+        sync(t)
+        stages["isect"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        shaded_alive = alive
+        out = shade(origin, direction, acc, mask, alive, seed, bounce,
+                    t, obj, tri, skip_emit)
+        sync(out)
+        origin, direction, acc, mask, alive, seed, skip_emit = out
+        bounce = jnp.where(shaded_alive, bounce + 1, bounce)
+        stages["shade"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        accum, pending, alive = flush(accum, pixid, pending, alive, acc,
+                                      bounce)
+        sync(accum)
+        stages["flush"].append(time.perf_counter() - t0)
+
+        n_alive = int(np.asarray(jnp.sum(alive)))
+        print(f"it {it}: alive {n_alive}  " + "  ".join(
+            f"{k} {v[-1]*1e3:6.1f}" for k, v in stages.items()),
+            flush=True)
+
+    print(f"\nmean of iters 3+ (ms, minus {floor_ms:.1f} ms sync floor):")
+    for k, v in stages.items():
+        print(f"  {k:6s} {np.mean(v[3:])*1e3 - floor_ms:7.1f}")
+
+
+if __name__ == "__main__":
+    main()

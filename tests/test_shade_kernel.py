@@ -1,0 +1,87 @@
+"""Fused Pallas shading kernel vs the jnp oracle path.
+
+The kernel (ops/pallas/shade.py) must reproduce shade_step exactly for
+the configuration it covers (untextured, non-NEE, Heitz): same RNG
+stream consumption, same radiance, same scattered rays.  Run here in
+interpret mode on the CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.ops.camera import generate_ray
+from logipathtracer_tpu.ops.rng import seed_from_pixel
+from logipathtracer_tpu.ops.traverse import intersect_scene
+from logipathtracer_tpu.render.megakernel import shade_step
+
+
+def _hit_state(scene, n=512, seed0=7):
+    cfg = RenderConfig(width=64, height=64, max_depth=5,
+                       intersect="bvh", renderer="megakernel")
+    h = w = 64
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2)[:n])
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    origin, direction, seed = generate_ray(
+        jnp.asarray(scene.cameras[0].world_matrix),
+        jnp.float32(scene.cameras[0].yfov), pix, (w, h), seed)
+    t, obj, tri = intersect_scene(scene, origin, direction, eps=cfg.eps)
+    return cfg, origin, direction, seed, t, obj, tri
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_shade_kernel_matches_jnp(cornell_scene, parity):
+    scene = cornell_scene
+    n = 512
+    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
+    skip = jnp.asarray(np.random.default_rng(4).random(n) < 0.2)
+    bounce = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
+
+    outs = {}
+    for mode in ("jnp", "shade_interpret"):
+        cfg = cfg0.replace(shade=mode, parity_rng=parity, shade_tile=256)
+        outs[mode] = shade_step(scene, cfg, origin, direction, acc, mask,
+                                alive, seed, bounce, t, obj, tri,
+                                skip_emit=skip)
+
+    names = ("origin", "direction", "acc", "mask", "alive", "seed",
+             "skip_emit")
+    ordered = {n: (np.asarray(a), np.asarray(b)) for n, a, b in zip(
+        names, outs["jnp"], outs["shade_interpret"])}
+    # Hard invariants first: identical RNG streams and masks (these
+    # encode the control flow — any drift here is a real bug).
+    for name in ("seed", "alive", "skip_emit"):
+        np.testing.assert_array_equal(*ordered[name], err_msg=name)
+    # Floats: 3-term dot products associate differently between the
+    # fused kernel and jnp.sum, and the 16-order walk amplifies the
+    # ULPs; require closeness and a tiny mismatch fraction.
+    for name in ("origin", "direction", "acc", "mask"):
+        a, b = ordered[name]
+        close = np.isclose(a, b, rtol=2e-5, atol=2e-6)
+        assert close.mean() > 0.995, (
+            f"{name}: {(~close).mean():.2%} mismatched")
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_shade_kernel_scalar_bounce(cornell_scene):
+    """The megakernel loop passes a scalar bounce index."""
+    scene = cornell_scene
+    n = 256
+    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.ones((n,), bool)
+    for mode in ("jnp", "shade_interpret"):
+        cfg = cfg0.replace(shade=mode, shade_tile=256)
+        out = shade_step(scene, cfg, origin, direction, acc, mask,
+                         alive, seed, jnp.int32(4), t, obj, tri)
+        assert np.isfinite(np.asarray(out[2])).all()
