@@ -100,6 +100,13 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         return ((st["next_work"] < total) | jnp.any(st["pending"])) \
             & (st["it"] < max_iters)
 
+    # Retired (dead-but-unflushed) lanes are sorted to the pool tail so
+    # the flush scatter usually covers only this slice (a full-pool
+    # scatter-add costs ~45 ms/iteration at 1M lanes; the tail slice
+    # ~1/4 of that).  A lax.cond falls back to the full scatter on the
+    # rare iterations where more lanes retire than the slice holds.
+    flush_cap = min(p, 1 << 18)
+
     def body(st):
         origin, direction = st["origin"], st["direction"]
         mask, acc, seed = st["mask"], st["acc"], st["seed"]
@@ -108,38 +115,13 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         bounce, pixid = st["bounce"], st["pixid"]
         next_work, accum = st["next_work"], st["accum"]
 
-        # ---- regenerate dead lanes with new work items ---------------
-        dead = ~alive
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-        item = next_work + rank
-        valid = dead & (item < total)
-        sampi = jnp.where(valid, item // npix, 0)
-        pixi = jnp.where(valid, item % npix, 0)
-        px, py = pix_coords(pixi)
-        useed = jnp.take(ubo_seeds, sampi, axis=0)
-        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1),
-                                parity=cfg.parity_rng)
-        o_new, d_new, nseed = generate_ray(
-            cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
-            active=valid, rand=get_rand(cfg.parity_rng))
-        vx = valid[:, None]
-        origin = jnp.where(vx, o_new, origin)
-        direction = jnp.where(vx, d_new, direction)
-        mask = jnp.where(vx, 1.0, mask)
-        acc = jnp.where(vx, 0.0, acc)
-        seed = jnp.where(vx, nseed, seed)
-        bounce = jnp.where(valid, 0, bounce)
-        pixid = jnp.where(valid, pixi, pixid)
-        alive = alive | valid
-        pending = pending | valid
-        skip_emit = skip_emit & ~valid
-        next_work = jnp.minimum(
-            next_work + jnp.sum(dead.astype(jnp.int32)), total)
-
-        # ---- sort the pool for sweep coherence ------------------------
+        # ---- sort: alive rays by coherence key; free lanes next;
+        # retired lanes last (so the flush below is a tail slice) ------
         if cfg.sort_rays:
-            key = jnp.where(alive, ray_sort_key(scene, origin, direction),
-                            _I32_MAX)
+            retired = pending & ~alive
+            key = jnp.where(
+                alive, ray_sort_key(scene, origin, direction),
+                jnp.where(retired, _I32_MAX, _I32_MAX - 1))
             packed = jnp.concatenate([
                 origin, direction, mask, acc,
                 _bitcast_f(seed.astype(jnp.int32)),
@@ -163,6 +145,58 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             pending = _bitcast_i(packed[:, 17]) != 0
             skip_emit = _bitcast_i(packed[:, 18]) != 0
 
+        # ---- flush finished paths --------------------------------------
+        flush = pending & ~alive
+        n_flush = jnp.sum(flush.astype(jnp.int32))
+        if cfg.sort_rays:
+            def flush_tail(accum):
+                sl = slice(p - flush_cap, p)
+                return accum.at[pixid[sl]].add(
+                    jnp.where(flush[sl, None], acc[sl], 0.0))
+
+            def flush_full(accum):
+                return accum.at[pixid].add(
+                    jnp.where(flush[:, None], acc, 0.0))
+
+            accum = jax.lax.cond(n_flush <= flush_cap,
+                                 flush_tail, flush_full, accum)
+            flushed = flush & (jax.lax.broadcasted_iota(
+                jnp.int32, (p,), 0) >= (p - flush_cap))
+            flushed = jnp.where(n_flush <= flush_cap, flushed, flush)
+        else:
+            accum = accum.at[pixid].add(
+                jnp.where(flush[:, None], acc, 0.0))
+            flushed = flush
+        pending = pending & ~flushed
+
+        # ---- regenerate free lanes with new work items -----------------
+        free = ~alive & ~pending
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        item = next_work + rank
+        valid = free & (item < total)
+        sampi = jnp.where(valid, item // npix, 0)
+        pixi = jnp.where(valid, item % npix, 0)
+        px, py = pix_coords(pixi)
+        useed = jnp.take(ubo_seeds, sampi, axis=0)
+        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1),
+                                parity=cfg.parity_rng)
+        o_new, d_new, nseed = generate_ray(
+            cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
+            active=valid, rand=get_rand(cfg.parity_rng))
+        vx = valid[:, None]
+        origin = jnp.where(vx, o_new, origin)
+        direction = jnp.where(vx, d_new, direction)
+        mask = jnp.where(vx, 1.0, mask)
+        acc = jnp.where(vx, 0.0, acc)
+        seed = jnp.where(vx, nseed, seed)
+        bounce = jnp.where(valid, 0, bounce)
+        pixid = jnp.where(valid, pixi, pixid)
+        alive = alive | valid
+        pending = pending | valid
+        skip_emit = skip_emit & ~valid
+        next_work = jnp.minimum(
+            next_work + jnp.sum(free.astype(jnp.int32)), total)
+
         # ---- intersect + shade ----------------------------------------
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
         t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
@@ -172,11 +206,6 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             t, obj, tri, skip_emit=skip_emit, isect=isect)
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
         alive = alive & (bounce < cfg.max_depth)
-
-        # ---- flush finished paths -------------------------------------
-        flush = pending & ~alive
-        accum = accum.at[pixid].add(jnp.where(flush[:, None], acc, 0.0))
-        pending = pending & alive
 
         return dict(origin=origin, direction=direction, mask=mask, acc=acc,
                     seed=seed, alive=alive, pending=pending,

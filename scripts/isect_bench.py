@@ -26,12 +26,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--cluster", type=int, default=256)
     ap.add_argument("--scene",
                     default="/root/reference/resources/cornell_box.gltf")
     args = ap.parse_args()
 
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
-                       sweep_tile=args.tile)
+                       sweep_tile=args.tile, cluster_size=args.cluster)
     scene = compile_scene(load_gltf(args.scene), cfg)
     cam = scene.cameras[0]
     h = w = args.res
