@@ -41,10 +41,31 @@ from logipathtracer_tpu.ops.traverse import (intersect_scene,
 
 
 # The sweep kernel holds all cluster triangles in VMEM (~16 MB/core);
-# scenes beyond this stream from HBM in a future revision and fall back
-# to the while-loop walk for now.
+# scenes beyond this budget stream cluster chunks from HBM instead
+# (intersect mode "stream").
 SWEEP_VMEM_BUDGET = 10 * 2 ** 20
 SWEEP_SMEM_BUDGET = 512 * 2 ** 10  # scalar-memory tables (meta/inv/order)
+
+
+def _pad128(n: int) -> int:
+    """2-D SMEM arrays pad their minor dim to 128-element multiples."""
+    return -(-n // 128) * 128
+
+
+def _stream_fits(cfg: RenderConfig, scene) -> bool:
+    """VMEM/SMEM feasibility of the streamed sweep for this scene."""
+    c, _, lanes = scene.cl_tris.shape
+    o = scene.num_objects
+    tile = cfg.stream_tile
+    chunk = cfg.stream_chunk
+    cp = -(-c // chunk) * chunk
+    vmem = (2 * chunk * 16 * lanes * 4     # double-buffered tri chunks
+            + o * 6 * tile * 4             # local-ray scratch
+            + 8 * tile * 4                 # ray block
+            + 6 * tile * 4)                # best t/tri/obj (+outputs)
+    # SMEM: meta [2, Cp] + aabb [8, Cp] + chunk_aabb [6, NC] + inv [O, 12].
+    smem = (10 * _pad128(cp) + 6 * _pad128(cp // chunk) + o * 128) * 4
+    return vmem <= SWEEP_VMEM_BUDGET and smem <= SWEEP_SMEM_BUDGET
 
 
 def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
@@ -62,10 +83,11 @@ def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
                 + o * 6 * tile * 4         # local-ray scratch
                 + 8 * tile * 4             # ray block
                 + 6 * tile * 4)            # best t/tri/obj (+outputs)
-        # SMEM tables: meta [C,2], inv [O,12], order [8,C], aabb [C,8].
-        smem = (c * 2 + o * 12 + 8 * c + c * 8) * 4
+        # SMEM tables (minor-dim 128 padding): meta [2,C], order [8,C],
+        # aabb [8,C], inv [O,12].
+        smem = (18 * _pad128(c) + o * 128) * 4
         if vmem > SWEEP_VMEM_BUDGET or smem > SWEEP_SMEM_BUDGET:
-            mode = "bvh"
+            mode = "stream" if _stream_fits(cfg, scene) else "bvh"
     return mode
 
 
@@ -86,6 +108,12 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode == "sweep_jnp":
         return lambda s, o, d, eps: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp")
+    if mode in ("stream", "stream_interpret"):
+        from logipathtracer_tpu.ops.traverse import intersect_scene_stream
+        backend = "interpret" if mode == "stream_interpret" else "pallas"
+        return lambda s, o, d, eps: intersect_scene_stream(
+            s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
+            backend=backend)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
@@ -417,11 +445,15 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
         (origin, direction, acc, mask, alive, seed, skip_emit,
          rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+        # Park dead lanes far outside the scene (non-destructive copies):
+        # every cluster slab test fails for them, so sorted all-dead
+        # sub-tiles cost no MT work in the sweep kernel.
+        o_i = jnp.where(alive[:, None], origin, 1e30)
+        d_i = jnp.where(alive[:, None], direction, 1.0)
         if use_sort:
-            t, obj, tri = sorted_intersect(isect, scene, origin, direction,
-                                           cfg.eps)
+            t, obj, tri = sorted_intersect(isect, scene, o_i, d_i, cfg.eps)
         else:
-            t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
+            t, obj, tri = isect(scene, o_i, d_i, eps=cfg.eps)
         origin, direction, acc, mask, alive, seed, skip_emit = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
             t, obj, tri, skip_emit=skip_emit, isect=isect)

@@ -197,6 +197,16 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         next_work = jnp.minimum(
             next_work + jnp.sum(free.astype(jnp.int32)), total)
 
+        # ---- park dead lanes ------------------------------------------
+        # Lanes that are retired-but-unflushed or out of work still ride
+        # through the intersect kernel; parking them at a far origin
+        # makes every cluster slab test fail, so the sweep skips all MT
+        # work for tiles of parked lanes (they sort to the pool tail).
+        # Destructive: regen re-fills origin/direction before reuse.
+        dead = ~alive
+        origin = jnp.where(dead[:, None], 1e30, origin)
+        direction = jnp.where(dead[:, None], 1.0, direction)
+
         # ---- intersect + shade ----------------------------------------
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
         t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
