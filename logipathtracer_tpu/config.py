@@ -57,9 +57,18 @@ class RenderConfig:
                                   # (auto: wavefront on TPU, megakernel
                                   #  elsewhere)
     pool_size: int = 1 << 20      # wavefront ray-pool lanes
-    intersect: str = "auto"       # auto | sweep (Pallas) | sweep_jnp |
-                                  # sweep_interpret | bvh (while-loop walk)
+    intersect: str = "auto"       # auto | sweep (Pallas, VMEM-resident) |
+                                  # stream (Pallas, HBM-streamed clusters)
+                                  # | sweep_jnp | sweep_interpret |
+                                  # stream_interpret | bvh (while-loop
+                                  # walk).  auto: sweep on TPU, stream
+                                  # when the scene exceeds the sweep's
+                                  # VMEM budget, bvh elsewhere.
     sweep_tile: int = 1024        # rays per Pallas sweep tile
+    stream_tile: int = 2048       # rays per streamed-sweep tile (bigger
+                                  # tiles amortize the per-tile HBM
+                                  # re-stream of the cluster data)
+    stream_chunk: int = 16        # clusters per streamed HBM block
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

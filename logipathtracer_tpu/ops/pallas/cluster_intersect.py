@@ -85,6 +85,43 @@ def _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, best_t):
             & (((t0 > 0.0) & (t0 < best_t)) | ((t0 <= 0.0) & (t1 > 0.0))))
 
 
+def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
+                       hit, best_t, best_tri, best_obj, sub_slot_ids,
+                       *, tile: int, lanes: int, eps: float):
+    """Masked Möller-Trumbore of one fired cluster against the tile's
+    128-ray sub-tiles, updating the best-hit scratch buffers.
+
+    Sub-tile masking: sorted rays make cluster hits clumpy, so most
+    128-ray sub-tiles of a fired cluster can still be skipped (measured
+    ~2.4x fewer MT lanes at tile=1024).  Static unroll; per-ray state
+    lives in [SUB, 128] scratch so every access has static indices.
+    """
+    sub_n = tile // 128
+    for sub in range(sub_n):
+        lo_, hi_ = sub * 128, (sub + 1) * 128
+
+        @pl.when(jnp.any(hit[lo_:hi_]))
+        def _(sub=sub, lo_=lo_, hi_=hi_):
+            t = _mt_cluster(lox[lo_:hi_], loy[lo_:hi_],
+                            loz[lo_:hi_], ldx[lo_:hi_],
+                            ldy[lo_:hi_], ldz[lo_:hi_],
+                            trib, eps)
+            bt2 = best_t[sub, :]
+            ok = (t > eps) & (t < bt2[:, None])
+            t = jnp.where(ok, t, INF)
+            tmin = jnp.min(t, axis=1)
+            # argmin via first-match select (Mosaic-friendly).
+            is_min = (t == tmin[:, None]) & (tmin[:, None] < INF)
+            slot = jnp.min(
+                jnp.where(is_min, sub_slot_ids, lanes), axis=1)
+            upd = tmin < bt2
+            best_t[sub, :] = jnp.where(upd, tmin, bt2)
+            best_tri[sub, :] = jnp.where(
+                upd, tri_base + slot, best_tri[sub, :])
+            best_obj[sub, :] = jnp.where(upd, obj,
+                                         best_obj[sub, :])
+
+
 def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
             t_out, tri_out, obj_out, lray, best_t, best_tri, best_obj,
             *, num_objects: int, num_clusters: int, eps: float,
@@ -125,51 +162,25 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
     # --- uniform cluster sweep ---------------------------------------
     def cl_body(ci, _):
         c = order_ref[oct_, ci]
-        obj = meta_ref[c, 0]
-        tri_base = meta_ref[c, 1]
+        obj = meta_ref[0, c]
+        tri_base = meta_ref[1, c]
         lox = lray[obj, 0, :]
         loy = lray[obj, 1, :]
         loz = lray[obj, 2, :]
         ldx = lray[obj, 3, :]
         ldy = lray[obj, 4, :]
         ldz = lray[obj, 5, :]
-        amin = (aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2])
-        amax = (aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5])
+        amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+        amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
         bt = best_t[:].reshape(tile)
         hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
 
         @pl.when(jnp.any(hit))
         def _():
-            trib = tris_ref[c]
-            sub_n = tile // 128
-            # Sub-tile masking: sorted rays make cluster hits clumpy, so
-            # most 128-ray sub-tiles of a fired cluster can still be
-            # skipped (measured ~2.4x fewer MT lanes at tile=1024).
-            # Static unroll; per-ray state lives in [SUB, 128] scratch
-            # so every access has static indices.
-            for sub in range(sub_n):
-                lo_, hi_ = sub * 128, (sub + 1) * 128
-
-                @pl.when(jnp.any(hit[lo_:hi_]))
-                def _(sub=sub, lo_=lo_, hi_=hi_):
-                    t = _mt_cluster(lox[lo_:hi_], loy[lo_:hi_],
-                                    loz[lo_:hi_], ldx[lo_:hi_],
-                                    ldy[lo_:hi_], ldz[lo_:hi_],
-                                    trib, eps)
-                    bt2 = best_t[sub, :]
-                    ok = (t > eps) & (t < bt2[:, None])
-                    t = jnp.where(ok, t, INF)
-                    tmin = jnp.min(t, axis=1)
-                    # argmin via first-match select (Mosaic-friendly).
-                    is_min = (t == tmin[:, None]) & (tmin[:, None] < INF)
-                    slot = jnp.min(
-                        jnp.where(is_min, sub_slot_ids, lanes), axis=1)
-                    upd = tmin < bt2
-                    best_t[sub, :] = jnp.where(upd, tmin, bt2)
-                    best_tri[sub, :] = jnp.where(
-                        upd, tri_base + slot, best_tri[sub, :])
-                    best_obj[sub, :] = jnp.where(upd, obj,
-                                                 best_obj[sub, :])
+            _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, tris_ref[c],
+                               tri_base, obj, hit, best_t, best_tri,
+                               best_obj, sub_slot_ids, tile=tile,
+                               lanes=lanes, eps=eps)
 
         return 0
 
@@ -192,7 +203,12 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     cl_aabb:  [C, 8] f32 — SMEM (scalar per-cluster reads).
     cl_tris:  [C, 9, S] f32 — VMEM.
     Returns (t [R], tri [R] i32, obj [R] i32).
+
+    meta/aabb are transposed on entry: 2-D SMEM arrays pad the MINOR
+    dim to 128 elements, so the large (cluster) dim must be minor.
     """
+    cl_meta = cl_meta.T      # [2, C]
+    cl_aabb = cl_aabb.T      # [8, C]
     r = rays8.shape[1]
     c, _, lanes = cl_tris.shape
     o = cl_inv.shape[0]
@@ -241,6 +257,195 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
         ],
         interpret=interpret,
     )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
+    return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
+
+
+def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
+                   tris_ref, t_out, tri_out, obj_out, lray, best_t,
+                   best_tri, best_obj, *, num_objects: int, chunk: int,
+                   num_chunks: int, num_real: int, eps: float, tile: int,
+                   lanes: int):
+    """HBM-streamed cluster sweep: grid (ray tiles, cluster chunks).
+
+    The resident kernel holds every cluster triangle in VMEM; scenes
+    beyond the VMEM budget instead stream ``chunk``-cluster blocks of
+    cl_tris from HBM (Pallas double-buffers the block fetches along the
+    inner grid dimension), giving the reference's ability to render
+    outside.gltf-scale scenes (399,949 tris, resources/outside.gltf)
+    through the same sweep.  Per-chunk world-space AABBs let whole
+    chunks skip their cluster loop when no ray can hit them.
+
+    Grid order is ray-tile-major so the best-hit scratch accumulates
+    across the chunk dimension (classic K-reduction; outputs written at
+    the last chunk step).  Cluster arrays are padded to a chunk
+    multiple; padded slots are gated off by ``num_real`` (static).
+    """
+    j = pl.program_id(1)
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    sub_n = tile // 128
+
+    @pl.when(j == 0)
+    def _():
+        def obj_body(o, _):
+            m = [inv_ref[o, k] for k in range(12)]
+            lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
+            lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
+            lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
+            return 0
+
+        jax.lax.fori_loop(0, num_objects, obj_body, 0)
+        best_t[:] = jnp.full((sub_n, 128), INF)
+        best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
+        best_obj[:] = jnp.full((sub_n, 128), -1, jnp.int32)
+
+    sub_slot_ids = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 1)
+
+    # Chunk-level cull: union AABB of the chunk's clusters in WORLD
+    # space, tested against the untransformed rays (conservative; t is
+    # world-parameterized in both spaces, ops/traverse.py:36-48).
+    camin = (chunk_aabb_ref[0, j], chunk_aabb_ref[1, j],
+             chunk_aabb_ref[2, j])
+    camax = (chunk_aabb_ref[3, j], chunk_aabb_ref[4, j],
+             chunk_aabb_ref[5, j])
+    bt_flat = best_t[:].reshape(tile)
+    chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
+
+    @pl.when(jnp.any(chunk_hit))
+    def _():
+        def cl_body(k, _):
+            c = j * chunk + k
+            obj = meta_ref[0, c]
+            tri_base = meta_ref[1, c]
+            lox = lray[obj, 0, :]
+            loy = lray[obj, 1, :]
+            loz = lray[obj, 2, :]
+            ldx = lray[obj, 3, :]
+            ldy = lray[obj, 4, :]
+            ldz = lray[obj, 5, :]
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+            bt = best_t[:].reshape(tile)
+            hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
+
+            @pl.when(jnp.any(hit) & (c < num_real))
+            def _():
+                _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz,
+                                   tris_ref[k], tri_base, obj, hit,
+                                   best_t, best_tri, best_obj,
+                                   sub_slot_ids, tile=tile, lanes=lanes,
+                                   eps=eps)
+
+            return 0
+
+        jax.lax.fori_loop(0, chunk, cl_body, 0)
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        t_out[0] = best_t[:]
+        tri_out[0] = best_tri[:]
+        obj_out[0] = best_obj[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "chunk", "eps", "interpret"))
+def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
+                             rays8, tile: int = 2048, chunk: int = 16,
+                             eps: float = 1e-4, interpret: bool = False):
+    """Closest hit via the HBM-streamed sweep (big scenes).
+
+    Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
+    used to build the world-space per-chunk cull AABBs.  All padding
+    (rays to ``tile``, clusters to ``chunk``) happens here.
+    """
+    r = rays8.shape[1]
+    c, _, lanes = cl_tris.shape
+    o = cl_inv.shape[0]
+    assert tile % 128 == 0 and r % tile == 0
+    sub = tile // 128
+
+    # --- pad clusters to a chunk multiple -----------------------------
+    cp = ((c + chunk - 1) // chunk) * chunk
+    if cp != c:
+        cl_meta = jnp.concatenate(
+            [cl_meta, jnp.zeros((cp - c, 2), jnp.int32)], axis=0)
+        cl_aabb = jnp.concatenate(
+            [cl_aabb, jnp.zeros((cp - c, 8), jnp.float32)], axis=0)
+        cl_tris = jnp.concatenate(
+            [cl_tris, jnp.zeros((cp - c, 9, lanes), jnp.float32)], axis=0)
+    num_chunks = cp // chunk
+
+    # --- world-space chunk AABBs (8 transformed corners per cluster) --
+    amin = cl_aabb[:, 0:3]
+    amax = cl_aabb[:, 3:6]
+    picks = jnp.asarray(
+        [[(ci >> 2) & 1, (ci >> 1) & 1, ci & 1] for ci in range(8)],
+        jnp.float32)  # [8, 3]
+    corners = (amin[:, None, :] * (1.0 - picks[None])
+               + amax[:, None, :] * picks[None])          # [Cp, 8, 3]
+    mats = jnp.take(obj_world, jnp.maximum(cl_meta[:, 0], 0),
+                    axis=0)                               # [Cp, 4, 4]
+    wc = (jnp.einsum("cij,ckj->cki", mats[:, :3, :3], corners,
+                     precision=jax.lax.Precision.HIGHEST)
+          + mats[:, None, :3, 3])                         # [Cp, 8, 3]
+    valid = (jnp.arange(cp) < c)[:, None]
+    wmin = jnp.where(valid, wc.min(axis=1), INF)
+    wmax = jnp.where(valid, wc.max(axis=1), -INF)
+    chunk_min = wmin.reshape(num_chunks, chunk, 3).min(axis=1)
+    chunk_max = wmax.reshape(num_chunks, chunk, 3).max(axis=1)
+    # SMEM 2-D arrays pad the minor dim to 128 elements: keep the large
+    # (cluster/chunk) dimension minor or a 2k-cluster scene blows the
+    # 1 MB SMEM budget (observed on v5e).
+    chunk_aabb_t = jnp.concatenate([chunk_min, chunk_max], axis=1).T
+    meta_t = cl_meta.T
+    aabb_t = cl_aabb.T
+
+    grid = (r // tile, num_chunks)
+    kernel = functools.partial(
+        _stream_kernel, num_objects=o, chunk=chunk, num_chunks=num_chunks,
+        num_real=c, eps=eps, tile=tile, lanes=lanes)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta [2, Cp]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv [O, 12]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk_aabb [6, NC]
+            pl.BlockSpec((8, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),   # rays
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [8, Cp]
+            pl.BlockSpec((chunk, 9, lanes), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),   # tris (streamed)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((o, 6, tile), jnp.float32),        # local rays
+            pltpu.VMEM((sub, 128), jnp.float32),          # best_t
+            pltpu.VMEM((sub, 128), jnp.int32),            # best_tri
+            pltpu.VMEM((sub, 128), jnp.int32),            # best_obj
+        ],
+        interpret=interpret,
+    )(meta_t, cl_inv, chunk_aabb_t, rays8, aabb_t, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 

@@ -165,6 +165,30 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
     return t[:r], obj[:r], tri[:r]
 
 
+def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
+                           tile: int = 2048, chunk: int = 16,
+                           backend: str = "pallas"):
+    """Closest hit via the HBM-streamed cluster sweep — scenes whose
+    cluster data exceeds the resident kernel's VMEM budget
+    (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
+    contract as intersect_scene."""
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import \
+        cluster_intersect_stream
+
+    r = origin.shape[0]
+    rp = ((r + tile - 1) // tile) * tile
+    rays8 = jnp.zeros((8, rp), jnp.float32)
+    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
+    rays8 = rays8.at[0:3, :r].set(origin.T)
+    rays8 = rays8.at[3:6, :r].set(direction.T)
+    inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
+    t, tri, obj = cluster_intersect_stream(
+        scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
+        scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
+        interpret=(backend == "interpret"))
+    return t[:r], obj[:r], tri[:r]
+
+
 def intersect_bruteforce(scene, origin, direction, eps: float = 1e-4,
                          chunk: int = 4096):
     """Oracle: test every triangle of every object (no BVH).

@@ -1,0 +1,80 @@
+"""HBM-streamed cluster sweep: equivalence vs the BVH walk and the
+resident-sweep jnp twin (the Pallas kernel runs here in interpret mode;
+the real TPU path is exercised by bench/scripts on hardware).
+
+Reference capability covered: rendering outside.gltf-scale scenes
+(399,949 tris, resources/outside.gltf) whose cluster data exceeds the
+resident kernel's VMEM budget (SURVEY.md §6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.ops.camera import generate_ray
+from logipathtracer_tpu.ops.rng import seed_from_pixel
+from logipathtracer_tpu.ops.traverse import (intersect_scene,
+                                             intersect_scene_stream)
+from logipathtracer_tpu.render.megakernel import resolve_intersect_mode
+
+
+def _primary_rays(scene, h, w):
+    cam = scene.cameras[0]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    seed = seed_from_pixel(jnp.array([12345, 67890], jnp.uint32), pix)
+    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix), cam.yfov, pix,
+                           (w, h), seed)
+    return o, d
+
+
+def test_stream_matches_bvh(cornell_scene):
+    """Small tile + small chunk force multi-tile, multi-chunk grids and
+    cluster padding — the full streamed control flow."""
+    s = cornell_scene
+    o, d = _primary_rays(s, 16, 16)
+    tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
+    ts, os_, rs = intersect_scene_stream(s, o, d, tile=128, chunk=4,
+                                         backend="interpret")
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ts), rtol=2e-6)
+    tie = (np.abs(np.asarray(tb) - np.asarray(ts))
+           <= 2e-6 * np.abs(np.asarray(tb)))
+    diff = ((np.asarray(rb) != np.asarray(rs))
+            | (np.asarray(ob) != np.asarray(os_)))
+    assert (tie | ~diff).all()
+
+
+def test_stream_random_rays(cornell_scene, rng):
+    """Bounce-like incoherent rays, including rays that miss."""
+    s = cornell_scene
+    n = 200  # deliberately not a multiple of the tile (exercises padding)
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
+    ts, os_, rs = intersect_scene_stream(s, o, d, tile=128, chunk=4,
+                                         backend="interpret")
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ts), rtol=2e-6)
+
+
+def test_auto_mode_selects_stream_for_big_scenes(cornell_scene):
+    """Scenes over the resident VMEM budget stream instead of falling
+    back to the gather-bound BVH walk (VERDICT r1 weak item 3)."""
+    import dataclasses
+
+    cfg = RenderConfig(intersect="auto")
+    # Fake a beyond-VMEM cluster payload without building a 400k-tri
+    # scene in CI: resolve_intersect_mode only inspects shapes.
+    big = dataclasses.replace(
+        cornell_scene,
+        cl_tris=np.zeros((4096, 9, 256), np.float32))
+    # Ask for explicit sweep ("auto" depends on the runtime backend);
+    # the budget check must downgrade it to stream, not bvh.
+    mode = resolve_intersect_mode(cfg.replace(intersect="sweep"), big)
+    assert mode == "stream"
+    mode_small = resolve_intersect_mode(
+        cfg.replace(intersect="sweep"), cornell_scene)
+    assert mode_small == "sweep"
