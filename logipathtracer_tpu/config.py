@@ -45,10 +45,19 @@ class RenderConfig:
     # Next-event estimation (BEYOND the reference — it has no light
     # sampling, path_tracing.comp:269; breaks RNG parity when on).
     nee: bool = False
+    nee_mis: bool = True          # balance-heuristic MIS combining the
+                                  # light sample with BSDF-sampled
+                                  # emission; False = classic NEE
+                                  # (BSDF-found emission suppressed on
+                                  # light-sampled diffuse chains)
 
     # BVH build knobs (ours; the reference delegates to lsg's SBVH).
     bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf
     bvh_bins: int = 16            # SAH bins
+    bvh_spatial_splits: bool = True  # mesh-level SBVH (native builder;
+                                  # matches lsg::bvh::SplitBVHBuilder,
+                                  # src/PTSceneConverter.cpp:97-98);
+                                  # numpy fallback has no splits
     cluster_size: int = 256       # triangles per sweep cluster (lane
                                   # dim; 256 won the on-chip autotune)
 
@@ -76,6 +85,17 @@ class RenderConfig:
     shade_tile: int = 2048        # rays per Pallas shade tile
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
+    sort_every: int = 1           # wavefront: sort/flush every k-th
+                                  # iteration (alive coherence decays
+                                  # slowly; >1 trades stale order for
+                                  # skipped sort passes)
+    lazy_regen: int = 0           # wavefront: 0 = refill free lanes
+                                  # every iteration; k>0 = refill only
+                                  # when free*k >= pool (regen cost is
+                                  # pool-proportional, not free-count-
+                                  # proportional, so batching it saves
+                                  # whole passes; parked lanes are
+                                  # near-free in intersect/shade)
     parity_rng: bool = True       # True: bit-faithful LCG-hash RNG
                                   # (shaders/common/random.glsl:9-15,
                                   # incl. its degenerate zero streams);

@@ -54,6 +54,11 @@ def _load():
             lib.lpt_build_triangle_bvh.restype = ctypes.c_int
             lib.lpt_build_triangle_bvh.argtypes = (
                 [f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int] + outs)
+            lib.lpt_build_triangle_sbvh.restype = ctypes.c_int
+            lib.lpt_build_triangle_sbvh.argtypes = (
+                [f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                 ctypes.c_float, ctypes.c_int]
+                + outs + [ctypes.POINTER(ctypes.c_int32)])
             _LIB = lib
         except Exception:
             _LIB = None
@@ -111,3 +116,40 @@ def build_triangle_bvh_native(tri_pos, leaf_size: int = 4,
     if rc != 0:
         raise RuntimeError(f"native BVH build failed (rc={rc})")
     return _pack(nmin, nmax, meta, order, nn, md)
+
+
+def build_triangle_sbvh_native(tri_pos, leaf_size: int = 4,
+                               bins: int = 16, min_overlap: float = 1e-5,
+                               max_dup: float = 2.0) -> BVH:
+    """SBVH with spatial splits (lsg::bvh::SplitBVHBuilder quality,
+    src/PTSceneConverter.cpp:97-98).  prim_order may contain DUPLICATE
+    triangle ids (straddling triangles clipped into both children);
+    downstream code materializes the duplicates when reordering the
+    soup.  Falls back to the plain SAH builder when the native
+    toolchain is missing."""
+    lib = _load()
+    tri = np.ascontiguousarray(tri_pos, np.float32).reshape(-1, 9)
+    n = tri.shape[0]
+    if lib is None:
+        from logipathtracer_tpu.scene.bvh import build_triangle_bvh
+        return build_triangle_bvh(tri_pos, leaf_size, bins)
+    max_refs = max(int(n * max_dup), n + 8)
+    cap = 2 * max_refs
+    nmin = np.zeros((cap, 3), np.float32)
+    nmax = np.zeros((cap, 3), np.float32)
+    meta = np.zeros((cap, 3), np.int32)
+    order = np.zeros(max_refs, np.int32)
+    nn = ctypes.c_int32(0)
+    md = ctypes.c_int32(0)
+    nr = ctypes.c_int32(0)
+    rc = lib.lpt_build_triangle_sbvh(
+        tri, n, leaf_size, bins, ctypes.c_float(min_overlap), max_refs,
+        nmin, nmax, meta, order, ctypes.byref(nn), ctypes.byref(md),
+        ctypes.byref(nr))
+    if rc != 0:
+        raise RuntimeError(f"native SBVH build failed (rc={rc})")
+    m = nn.value
+    return BVH(nodes_min=nmin[:m].copy(), nodes_max=nmax[:m].copy(),
+               nodes_meta=meta[:m].copy(),
+               prim_order=order[:nr.value].copy(),
+               max_depth=int(md.value))

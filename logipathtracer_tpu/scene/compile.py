@@ -72,7 +72,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     mesh_node_cursor = 0
     vtx_cursor = 0
 
-    builder = _select_builder(use_native)
+    builder = _select_builder(use_native, cfg.bvh_spatial_splits)
 
     for node in gltf.mesh_nodes:
         world = node.world_matrix.astype(np.float32)
@@ -301,13 +301,19 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     )
 
 
-def _select_builder(use_native: bool):
+def _select_builder(use_native: bool, spatial_splits: bool = True):
+    """Mesh-level builder: native SBVH (spatial splits — the quality the
+    reference gets from lsg::bvh::SplitBVHBuilder,
+    src/PTSceneConverter.cpp:97-98) when the toolchain is present, else
+    the numpy binned-SAH builder (same node schema, no splits)."""
     if use_native:
         try:
             from logipathtracer_tpu.scene.bvh_native import (
-                build_triangle_bvh_native, native_available)
+                build_triangle_bvh_native, build_triangle_sbvh_native,
+                native_available)
             if native_available():
-                return build_triangle_bvh_native
+                return (build_triangle_sbvh_native if spatial_splits
+                        else build_triangle_bvh_native)
         except Exception:
             pass
     return build_triangle_bvh

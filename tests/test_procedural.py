@@ -27,7 +27,9 @@ def test_soup_scale_build():
     gltf = make_triangle_soup(n_tris=50_000, seed=2)
     cfg = RenderConfig(width=8, height=8, max_depth=1, intersect="bvh")
     scene = compile_scene(gltf, cfg)
-    assert scene.num_triangles == 50_000
+    # SBVH duplicates straddling triangles into the emitted soup
+    # (bounded by the builder's 2x cap; typically a few percent).
+    assert 50_000 <= scene.num_triangles <= 60_000
     cam = scene.cameras[0]
     img = np.asarray(render_sample(
         scene, cfg, jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
