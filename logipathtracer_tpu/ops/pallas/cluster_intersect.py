@@ -125,7 +125,7 @@ def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
 def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
             t_out, tri_out, obj_out, lray, best_t, best_tri, best_obj,
             *, num_objects: int, num_clusters: int, eps: float,
-            tile: int, lanes: int):
+            tile: int, lanes: int, has_tmax: bool = False):
     # --- per-object local rays --------------------------------------
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -147,7 +147,11 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
     jax.lax.fori_loop(0, num_objects, obj_body, 0)
 
     sub_n = tile // 128
-    best_t[:] = jnp.full((sub_n, 128), INF)
+    # Any-hit-style queries (NEE shadow rays) pass a per-ray t_max in
+    # rays row 6: initializing best_t to it prunes every cluster beyond
+    # the light, the sweep analog of an any-hit early exit.
+    best_t[:] = (rays_ref[6, :].reshape(sub_n, 128) if has_tmax
+                 else jnp.full((sub_n, 128), INF))
     best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
     best_obj[:] = jnp.full((sub_n, 128), -1, jnp.int32)
 
@@ -186,15 +190,18 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
 
     jax.lax.fori_loop(0, num_clusters, cl_body, 0)
 
-    t_out[0] = best_t[:]
+    t_out[0] = (jnp.where(best_tri[:] >= 0, best_t[:], INF) if has_tmax
+                else best_t[:])
     tri_out[0] = best_tri[:]
     obj_out[0] = best_obj[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "eps", "interpret",
+                                             "has_tmax"))
 def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                              rays8, tile: int = 1024, eps: float = 1e-4,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             has_tmax: bool = False):
     """Closest hit for rays8 [8, R] (R multiple of ``tile``).
 
     cl_meta:  [C, 2] int32 (obj, tri_base) — SMEM.
@@ -221,7 +228,7 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     grid = (r // tile,)
     kernel = functools.partial(
         _kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
-        lanes=lanes)
+        lanes=lanes, has_tmax=has_tmax)
 
     outs = pl.pallas_call(
         kernel,
@@ -264,7 +271,7 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
                    tris_ref, t_out, tri_out, obj_out, lray, best_t,
                    best_tri, best_obj, *, num_objects: int, chunk: int,
                    num_chunks: int, num_real: int, eps: float, tile: int,
-                   lanes: int):
+                   lanes: int, has_tmax: bool = False):
     """HBM-streamed cluster sweep: grid (ray tiles, cluster chunks).
 
     The resident kernel holds every cluster triangle in VMEM; scenes
@@ -302,7 +309,8 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
             return 0
 
         jax.lax.fori_loop(0, num_objects, obj_body, 0)
-        best_t[:] = jnp.full((sub_n, 128), INF)
+        best_t[:] = (rays_ref[6, :].reshape(sub_n, 128) if has_tmax
+                     else jnp.full((sub_n, 128), INF))
         best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
         best_obj[:] = jnp.full((sub_n, 128), -1, jnp.int32)
 
@@ -349,16 +357,19 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
 
     @pl.when(j == num_chunks - 1)
     def _():
-        t_out[0] = best_t[:]
+        t_out[0] = (jnp.where(best_tri[:] >= 0, best_t[:], INF)
+                    if has_tmax else best_t[:])
         tri_out[0] = best_tri[:]
         obj_out[0] = best_obj[:]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "chunk", "eps", "interpret"))
+                   static_argnames=("tile", "chunk", "eps", "interpret",
+                                    "has_tmax"))
 def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
                              rays8, tile: int = 2048, chunk: int = 16,
-                             eps: float = 1e-4, interpret: bool = False):
+                             eps: float = 1e-4, interpret: bool = False,
+                             has_tmax: bool = False):
     """Closest hit via the HBM-streamed sweep (big scenes).
 
     Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
@@ -410,7 +421,7 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
     grid = (r // tile, num_chunks)
     kernel = functools.partial(
         _stream_kernel, num_objects=o, chunk=chunk, num_chunks=num_chunks,
-        num_real=c, eps=eps, tile=tile, lanes=lanes)
+        num_real=c, eps=eps, tile=tile, lanes=lanes, has_tmax=has_tmax)
 
     outs = pl.pallas_call(
         kernel,
@@ -450,7 +461,7 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
 
 
 def cluster_intersect_jnp(cl_meta, cl_inv, cl_aabb, cl_tris, rays8,
-                          eps: float = 1e-4):
+                          eps: float = 1e-4, t_max=None):
     """Pure-jnp twin of the sweep (CI oracle; O(R x C x S) work)."""
     cl_meta = jnp.asarray(cl_meta)
     cl_inv = jnp.asarray(cl_inv)
@@ -490,6 +501,10 @@ def cluster_intersect_jnp(cl_meta, cl_inv, cl_aabb, cl_tris, rays8,
                 jnp.where(upd, tri_base + slot, best_tri),
                 jnp.where(upd, obj, best_obj))
 
-    init = (jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
+    init_t = jnp.full((r,), INF) if t_max is None else t_max
+    init = (init_t, jnp.full((r,), -1, jnp.int32),
             jnp.full((r,), -1, jnp.int32))
-    return jax.lax.fori_loop(0, c, cl_body, init)
+    bt, btri, bobj = jax.lax.fori_loop(0, c, cl_body, init)
+    if t_max is not None:
+        bt = jnp.where(btri >= 0, bt, INF)
+    return bt, btri, bobj

@@ -127,6 +127,39 @@ def _dot(ax, ay, az, bx, by, bz):
 
 
 def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
+    f = lambda k: in_ref[k, :]
+    i = lambda k: jax.lax.bitcast_convert_type(in_ref[k, :], jnp.int32)
+
+    # All-dead tiles (sorted pools park dead lanes contiguously at the
+    # tail) skip the whole shading body: passthrough writes only.
+    tile_live = jnp.any(i(I_ALIVE) != 0)
+
+    @pl.when(~tile_live)
+    def _():
+        out_ref[O_OX, :] = f(I_OX)
+        out_ref[O_OY, :] = f(I_OY)
+        out_ref[O_OZ, :] = f(I_OZ)
+        out_ref[O_DX, :] = f(I_DX)
+        out_ref[O_DY, :] = f(I_DY)
+        out_ref[O_DZ, :] = f(I_DZ)
+        out_ref[O_MR, :] = f(I_MR)
+        out_ref[O_MG, :] = f(I_MG)
+        out_ref[O_MB, :] = f(I_MB)
+        out_ref[O_AR, :] = f(I_AR)
+        out_ref[O_AG, :] = f(I_AG)
+        out_ref[O_AB, :] = f(I_AB)
+        out_ref[O_S0, :] = f(I_S0)
+        out_ref[O_S1, :] = f(I_S1)
+        out_ref[O_ALIVE, :] = f(I_ALIVE)
+        out_ref[O_SKIP, :] = f(I_SKIP)
+
+    @pl.when(tile_live)
+    def _():
+        _shade_tile(in_ref, out_ref, cfg_tuple=cfg_tuple,
+                    rand_kind=rand_kind, tile=tile)
+
+
+def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order) = \
         cfg_tuple
     rand = _rand_parity if rand_kind == "parity" else _rand_threefry
@@ -142,7 +175,7 @@ def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     t = f(I_T)
     s0, s1 = u(I_S0), u(I_S1)
     alive = i(I_ALIVE) != 0
-    skip_emit = i(I_SKIP) != 0
+    prev_pdf = f(I_SKIP)  # NEE MIS state; always 0 in pallas configs
     bounce = i(I_BOUNCE)
 
     tsh = lambda k: f(I_TSH + k)
@@ -224,11 +257,12 @@ def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     is_trans = (~is_metal) & (r_lobe < met_w + trans_w)
     is_diff = ~(is_metal | is_trans)
 
-    # ---- emission pre-BSDF with pre-bounce mask (:269) ------------------
-    emit = alive & ~skip_emit
-    ar = ar + jnp.where(emit, mr * em_r, 0.0)
-    ag = ag + jnp.where(emit, mg * em_g, 0.0)
-    ab = ab + jnp.where(emit, mb * em_b, 0.0)
+    # ---- emission pre-BSDF with pre-bounce mask (:269).  NEE's MIS
+    # emission weighting lives in the jnp path (resolve_shade_mode
+    # excludes NEE configs from this kernel), so weight here is 1.
+    ar = ar + jnp.where(alive, mr * em_r, 0.0)
+    ag = ag + jnp.where(alive, mg * em_g, 0.0)
+    ab = ab + jnp.where(alive, mb * em_b, 0.0)
 
     # ---- shading normal (mat3(world) @ n, no inverse transpose :272) ----
     nlx = bu * tsh(0) + bv * tsh(3) + bw * tsh(6)
@@ -465,8 +499,6 @@ def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     mg = jnp.where(boost, mg * inv_q, mg)
     mb = jnp.where(boost, mb * inv_q, mb)
 
-    skip_emit = skip_emit & ~alive
-
     bf = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
     out_ref[O_OX, :] = ox
     out_ref[O_OY, :] = oy
@@ -483,7 +515,7 @@ def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     out_ref[O_S0, :] = bf(s0)
     out_ref[O_S1, :] = bf(s1)
     out_ref[O_ALIVE, :] = bf(alive.astype(jnp.int32))
-    out_ref[O_SKIP, :] = bf(skip_emit.astype(jnp.int32))
+    out_ref[O_SKIP, :] = prev_pdf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_tuple", "rand_kind",

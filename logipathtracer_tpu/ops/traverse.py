@@ -48,10 +48,13 @@ def _local_ray(inv_rows, origin, direction):
     return o, d
 
 
-def intersect_scene(scene, origin, direction, eps: float = 1e-4):
+def intersect_scene(scene, origin, direction, eps: float = 1e-4,
+                    t_max=None):
     """Closest-hit query for a batch of world-space rays.
 
-    origin, direction: [R, 3] float32.
+    origin, direction: [R, 3] float32.  t_max (optional [R]): ignore
+    hits at or beyond it — shadow rays pass the light distance so the
+    walk prunes everything behind the light (any-hit analog).
     Returns (t [R] f32 — INF on miss, obj [R] i32, tri [R] i32 global
     triangle index; -1 where missed).
     """
@@ -68,7 +71,7 @@ def intersect_scene(scene, origin, direction, eps: float = 1e-4):
 
     stack = jnp.zeros((r, s), jnp.int32)
     sp = jnp.ones((r,), jnp.int32)  # root (node 0) pre-pushed
-    best_t = jnp.full((r,), INF)
+    best_t = jnp.full((r,), INF) if t_max is None else t_max
     best_obj = jnp.full((r,), -1, jnp.int32)
     best_tri = jnp.full((r,), -1, jnp.int32)
 
@@ -128,6 +131,8 @@ def intersect_scene(scene, origin, direction, eps: float = 1e-4):
     state = (stack, sp, best_t, best_obj, best_tri)
     state = jax.lax.while_loop(cond, body, state)
     _, _, best_t, best_obj, best_tri = state
+    if t_max is not None:
+        best_t = jnp.where(best_tri >= 0, best_t, INF)
     return best_t, best_obj, best_tri
 
 
@@ -139,7 +144,8 @@ def _padded_inverses(scene):
 
 
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
-                          tile: int = 1024, backend: str = "pallas"):
+                          tile: int = 1024, backend: str = "pallas",
+                          t_max=None):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py).  Same contract as
     intersect_scene: returns (t, obj, tri)."""
@@ -152,22 +158,26 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
     rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
     rays8 = rays8.at[0:3, :r].set(origin.T)
     rays8 = rays8.at[3:6, :r].set(direction.T)
+    if t_max is not None:
+        rays8 = rays8.at[6, :].set(INF)
+        rays8 = rays8.at[6, :r].set(t_max)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     if backend == "jnp":
         t, tri, obj = cluster_intersect_jnp(
             scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris, rays8,
-            eps=eps)
+            eps=eps, t_max=None if t_max is None else rays8[6, :])
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
             scene.cl_tris, rays8, tile=tile, eps=eps,
-            interpret=(backend == "interpret"))
+            interpret=(backend == "interpret"),
+            has_tmax=t_max is not None)
     return t[:r], obj[:r], tri[:r]
 
 
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
-                           backend: str = "pallas"):
+                           backend: str = "pallas", t_max=None):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -181,11 +191,14 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
     rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
     rays8 = rays8.at[0:3, :r].set(origin.T)
     rays8 = rays8.at[3:6, :r].set(direction.T)
+    if t_max is not None:
+        rays8 = rays8.at[6, :].set(INF)
+        rays8 = rays8.at[6, :r].set(t_max)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     t, tri, obj = cluster_intersect_stream(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
-        interpret=(backend == "interpret"))
+        interpret=(backend == "interpret"), has_tmax=t_max is not None)
     return t[:r], obj[:r], tri[:r]
 
 

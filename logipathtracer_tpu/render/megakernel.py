@@ -100,20 +100,22 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode == "bvh":
         return intersect_scene
     if mode == "sweep":
-        return lambda s, o, d, eps: intersect_scene_sweep(
-            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas")
+        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
+            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas",
+            t_max=t_max)
     if mode == "sweep_interpret":
-        return lambda s, o, d, eps: intersect_scene_sweep(
-            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret")
+        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
+            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret",
+            t_max=t_max)
     if mode == "sweep_jnp":
-        return lambda s, o, d, eps: intersect_scene_sweep(
-            s, o, d, eps=eps, backend="jnp")
+        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
+            s, o, d, eps=eps, backend="jnp", t_max=t_max)
     if mode in ("stream", "stream_interpret"):
         from logipathtracer_tpu.ops.traverse import intersect_scene_stream
         backend = "interpret" if mode == "stream_interpret" else "pallas"
-        return lambda s, o, d, eps: intersect_scene_stream(
+        return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
-            backend=backend)
+            backend=backend, t_max=t_max)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
@@ -176,7 +178,7 @@ def resolve_shade_mode(cfg: RenderConfig, scene=None) -> str:
 
 
 def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
-                       mask, alive, seed, bounce, t, obj, tri, skip_emit,
+                       mask, alive, seed, bounce, t, obj, tri, prev_pdf,
                        interpret: bool):
     """Pack ray state component-major and run the fused shading kernel
     (ops/pallas/shade.py).  Same contract as the jnp tail of
@@ -195,7 +197,7 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
         origin.T, direction.T, mask.T, acc.T, t[None, :],
         bf(seed.astype(jnp.int32)).T,
         bf(alive.astype(jnp.int32))[None, :],
-        bf(skip_emit.astype(jnp.int32))[None, :],
+        prev_pdf[None, :],
         bf(bounce_v)[None, :],
         tshade.T, oshade.T,
     ], axis=0)  # [IN_K, R]
@@ -221,34 +223,39 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     acc = out[ps.O_AR:ps.O_AB + 1].T
     seed = bi(out[ps.O_S0:ps.O_S1 + 1]).astype(jnp.uint32).T
     alive = bi(out[ps.O_ALIVE]) != 0
-    skip_emit = bi(out[ps.O_SKIP]) != 0
-    return origin, direction, acc, mask, alive, seed, skip_emit
+    prev_pdf = out[ps.O_SKIP]  # passthrough (always 0: NEE shades jnp)
+    return origin, direction, acc, mask, alive, seed, prev_pdf
 
 
 def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
-               alive, seed, bounce, t, obj, tri, skip_emit=None,
+               alive, seed, bounce, t, obj, tri, prev_pdf=None,
                isect=None, rand=None):
     """One shading iteration of the traceRay loop
     (path_tracing.comp:219-323), given the intersection results.
 
     ``bounce`` may be a scalar (megakernel loop index) or a per-ray i32
     vector (wavefront pool) — the Russian-roulette gate broadcasts.
-    ``skip_emit``/``isect`` serve next-event estimation (cfg.nee):
-    emission is suppressed on lanes whose previous vertex already
-    sampled this light via NEE, and ``isect`` casts the shadow rays.
+    ``prev_pdf``/``isect`` serve next-event estimation (cfg.nee) with
+    multiple importance sampling: prev_pdf [R] f32 carries the BSDF
+    sampling pdf (solid angle) of the ray's direction when the previous
+    vertex also light-sampled (0 elsewhere) — emission found by the
+    BSDF ray is then weighted by the balance heuristic
+    prev_pdf / (prev_pdf + p_light) instead of being discarded, and the
+    light sample carries the complementary weight.  ``isect`` casts the
+    shadow rays (with t_max, the any-hit analog).
 
-    Returns (origin, direction, acc, mask, alive, seed, skip_emit').
+    Returns (origin, direction, acc, mask, alive, seed, prev_pdf').
     """
     if rand is None:
         rand = get_rand(cfg.parity_rng)
-    if skip_emit is None:
-        skip_emit = jnp.zeros(alive.shape, bool)
+    if prev_pdf is None:
+        prev_pdf = jnp.zeros(alive.shape, jnp.float32)
 
     shade_mode = resolve_shade_mode(cfg, scene)
     if shade_mode in ("pallas", "shade_interpret"):
         return _shade_step_pallas(
             scene, cfg, origin, direction, acc, mask, alive, seed,
-            bounce, t, obj, tri, skip_emit,
+            bounce, t, obj, tri, prev_pdf,
             interpret=(shade_mode == "shade_interpret"))
 
     miss = alive & (t >= INF)
@@ -311,8 +318,6 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
     lobe, seed = bsdf.determine_interaction(metallic, transmission,
                                             seed, alive, rand=rand)
-    acc = acc + jnp.where((alive & ~skip_emit)[:, None],
-                          mask * emission, 0.0)
 
     # Shading normal: mat3(world) @ interpolated normal, normalized
     # (:272; no inverse-transpose — reference behavior).
@@ -338,6 +343,23 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
     u, v = tangent_basis(ff)
 
+    # Emission added pre-BSDF with the pre-bounce mask (:269).  With
+    # NEE+MIS active, emission reached by a BSDF ray from a light-
+    # sampled diffuse vertex carries the balance-heuristic weight
+    # prev_pdf / (prev_pdf + p_light); everywhere else weight 1.
+    if cfg.nee and scene.num_lights > 0:
+        cos_l_hit = jnp.abs(ndotd)
+        p_light_hit = t * t / (jnp.maximum(cos_l_hit, 1e-9)
+                               * scene.total_light_area)
+        is_emitter = jnp.max(emission, axis=-1) > 0.0
+        mis_w = (prev_pdf / (prev_pdf + p_light_hit) if cfg.nee_mis
+                 else jnp.zeros_like(prev_pdf))
+        w_emit = jnp.where((prev_pdf > 0.0) & is_emitter, mis_w, 1.0)
+        acc = acc + jnp.where(alive[:, None],
+                              mask * emission * w_emit[:, None], 0.0)
+    else:
+        acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
+
     if scene.has_textures:
         tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
         has_n, nmap = tap(4)
@@ -358,8 +380,16 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         jnp.sum(-direction * ff, axis=-1)], -1)
     outside = jnp.sum(n * -direction, axis=-1) > 0.0
 
-    # --- next-event estimation (cfg.nee; beyond reference) ------------
-    new_skip = jnp.zeros_like(skip_emit)
+    # --- next-event estimation + MIS (cfg.nee; beyond reference) ------
+    # Balance-heuristic MIS between area light sampling and the BSDF
+    # sample on diffuse vertices.  The diffuse lobe's directional pdf is
+    # taken as cos/pi: EXACT for the basic BSDF (cosine sampling,
+    # basic/BSDF.glsl:3-11, whose weight F0*cos implies f = F0*cos/pi),
+    # APPROXIMATE for the Heitz multiple-scattering diffuse walk (no
+    # closed form exists; the light-sample f uses the Lambert
+    # approximation base/pi — documented preview-grade bias, bounded by
+    # the MIS weights; see PARITY.md).
+    new_pdf = jnp.zeros_like(prev_pdf)
     if cfg.nee and scene.num_lights > 0 and isect is not None:
         nee_mask = alive & (lobe == bsdf.LOBE_DIFFUSE)
         r1, seed = rand(seed, nee_mask)
@@ -384,14 +414,25 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
             jnp.sum(ln * ln, axis=-1, keepdims=True)), 1e-20)
         cos_l = jnp.abs(jnp.sum(ln * -wl, axis=-1))  # two-sided emitter
         cos_s = jnp.sum(ff * wl, axis=-1)
-        t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps)
-        visible = t_s >= dist * (1.0 - 1e-3)
-        f_d = base_color[:, :3] / jnp.pi
+        # Shadow query with t_max: clusters behind the light are pruned
+        # in the kernel (the sweep's any-hit analog).
+        t_lim = dist * (1.0 - 1e-3)
+        t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps, t_max=t_lim)
+        visible = t_s >= t_lim
+        if cfg.use_microfacet:
+            f_d = base_color[:, :3] / jnp.pi
+        else:
+            f_d = base_color[:, :3] * jnp.maximum(cos_s, 0.0)[:, None] \
+                / jnp.pi
+        p_light = dist2 / (jnp.maximum(cos_l, 1e-9)
+                           * scene.total_light_area)
+        p_bsdf_l = jnp.maximum(cos_s, 0.0) / jnp.pi
+        w_light = (p_light / (p_light + p_bsdf_l) if cfg.nee_mis
+                   else jnp.ones_like(p_light))
         geom = cos_s * cos_l * scene.total_light_area / dist2
-        contrib = mask * le * f_d * geom[:, None]
+        contrib = mask * le * f_d * (geom * w_light)[:, None]
         use = nee_mask & visible & (cos_s > 0.0)
         acc = acc + jnp.where(use[:, None], contrib, 0.0)
-        new_skip = nee_mask
 
     if cfg.use_microfacet:
         weight, ldir_t, seed = bsdf.heitz_sample(
@@ -404,6 +445,11 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
             outside, lobe, seed, alive, rand=rand)
 
     mask = jnp.where(alive[:, None], mask * weight, mask)
+    if cfg.nee and scene.num_lights > 0 and isect is not None:
+        # pdf (solid angle, cos/pi) of the direction the diffuse lobe
+        # just sampled — consumed by the NEXT vertex's emission weight.
+        new_pdf = jnp.where(nee_mask,
+                            jnp.maximum(ldir_t[:, 2], 0.0) / jnp.pi, 0.0)
     ldir_w = (ldir_t[:, 0:1] * u + ldir_t[:, 1:2] * v
               + ldir_t[:, 2:3] * ff)
     origin = jnp.where(alive[:, None], pos_w, origin)
@@ -418,8 +464,8 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     boost = rr & ~kill
     mask = jnp.where(boost[:, None], mask / q[:, None], mask)
 
-    skip_emit = jnp.where(alive, new_skip, skip_emit)
-    return origin, direction, acc, mask, alive, seed, skip_emit
+    prev_pdf = jnp.where(alive, new_pdf, prev_pdf)
+    return origin, direction, acc, mask, alive, seed, prev_pdf
 
 
 def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
@@ -439,10 +485,10 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
 
     rays_traced = jnp.zeros((), jnp.float32)
 
-    skip_emit = jnp.zeros((r,), bool)
+    prev_pdf = jnp.zeros((r,), jnp.float32)
 
     def bounce_body(bounce, state):
-        (origin, direction, acc, mask, alive, seed, skip_emit,
+        (origin, direction, acc, mask, alive, seed, prev_pdf,
          rays_traced) = state
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         # Park dead lanes far outside the scene (non-destructive copies):
@@ -454,13 +500,13 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
             t, obj, tri = sorted_intersect(isect, scene, o_i, d_i, cfg.eps)
         else:
             t, obj, tri = isect(scene, o_i, d_i, eps=cfg.eps)
-        origin, direction, acc, mask, alive, seed, skip_emit = shade_step(
+        origin, direction, acc, mask, alive, seed, prev_pdf = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri, skip_emit=skip_emit, isect=isect)
-        return (origin, direction, acc, mask, alive, seed, skip_emit,
+            t, obj, tri, prev_pdf=prev_pdf, isect=isect)
+        return (origin, direction, acc, mask, alive, seed, prev_pdf,
                 rays_traced)
 
-    state = (origin, direction, acc, mask, alive, seed, skip_emit,
+    state = (origin, direction, acc, mask, alive, seed, prev_pdf,
              rays_traced)
     state = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, state)
     acc = state[2]

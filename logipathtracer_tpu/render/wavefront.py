@@ -13,6 +13,14 @@ step 3, BASELINE.json config 4): a persistent pool of rays where
   * terminated paths scatter-add their radiance into the (block-major)
     accumulation buffer keyed by pixel id.
 
+Scheduling knobs (both preserve per-work-item radiance exactly — they
+only change WHEN maintenance passes run):
+  * cfg.sort_every = k: sort/flush on every k-th iteration only,
+  * cfg.lazy_regen = k: refill free lanes only when free*k >= pool (or
+    when the remaining work fits) — regen cost is pool-proportional,
+    not free-count-proportional, so batching it saves whole passes
+    while parked dead lanes stay near-free in intersect/shade.
+
 Per-(pixel, sample) RNG streams are identical to the megakernel's
 (seed = ubo_seed[sample] * pixel, drawn in the same order along each
 path), so each work item's radiance matches the sequential renderer up
@@ -43,9 +51,9 @@ def _bitcast_i(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool"))
+@partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap"))
 def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
-                     pool: int = 1 << 20):
+                     pool: int = 1 << 20, flush_cap: int = 1 << 18):
     """Render ``S = ubo_seeds.shape[0]`` full-frame samples.
 
     Returns (accum [H, W, 3] radiance SUM over the S samples,
@@ -85,7 +93,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         seed=jnp.zeros((p, 2), jnp.uint32),
         alive=jnp.zeros((p,), bool),
         pending=jnp.zeros((p,), bool),
-        skip_emit=jnp.zeros((p,), bool),
+        prev_pdf=jnp.zeros((p,), jnp.float32),
         bounce=jnp.zeros((p,), jnp.int32),
         pixid=jnp.zeros((p,), jnp.int32),
         next_work=jnp.zeros((), jnp.int32),
@@ -94,7 +102,10 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         it=jnp.zeros((), jnp.int32),
     )
 
-    max_iters = (total // p + 2) * cfg.max_depth + 4
+    # Lazy maintenance stretches frames over more iterations; keep
+    # generous slack for both knobs.
+    max_iters = (((total // p + 3) * cfg.max_depth + 4)
+                 * max(cfg.sort_every, 1) + 4 * max(cfg.lazy_regen, 1))
 
     def cond(st):
         return ((st["next_work"] < total) | jnp.any(st["pending"])) \
@@ -105,19 +116,21 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     # scatter-add costs ~45 ms/iteration at 1M lanes; the tail slice
     # ~1/4 of that).  A lax.cond falls back to the full scatter on the
     # rare iterations where more lanes retire than the slice holds.
-    flush_cap = min(p, 1 << 18)
+    flush_cap = min(p, flush_cap)
 
     def body(st):
         origin, direction = st["origin"], st["direction"]
         mask, acc, seed = st["mask"], st["acc"], st["seed"]
         alive, pending = st["alive"], st["pending"]
-        skip_emit = st["skip_emit"]
+        prev_pdf = st["prev_pdf"]
         bounce, pixid = st["bounce"], st["pixid"]
         next_work, accum = st["next_work"], st["accum"]
 
         # ---- sort: alive rays by coherence key; free lanes next;
-        # retired lanes last (so the flush below is a tail slice) ------
-        if cfg.sort_rays:
+        # retired lanes last — then flush the retired tail slice -------
+        def sort_and_flush(args):
+            (origin, direction, mask, acc, seed, alive, pending,
+             prev_pdf, bounce, pixid, accum) = args
             retired = pending & ~alive
             key = jnp.where(
                 alive, ray_sort_key(scene, origin, direction),
@@ -129,7 +142,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 _bitcast_f(pixid)[:, None],
                 _bitcast_f(alive.astype(jnp.int32))[:, None],
                 _bitcast_f(pending.astype(jnp.int32))[:, None],
-                _bitcast_f(skip_emit.astype(jnp.int32))[:, None],
+                prev_pdf[:, None],
             ], axis=1)  # [P, 19]
             _, perm = jax.lax.sort_key_val(
                 key, jnp.arange(p, dtype=jnp.int32))
@@ -143,12 +156,12 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             pixid = _bitcast_i(packed[:, 15])
             alive = _bitcast_i(packed[:, 16]) != 0
             pending = _bitcast_i(packed[:, 17]) != 0
-            skip_emit = _bitcast_i(packed[:, 18]) != 0
+            prev_pdf = packed[:, 18]
 
-        # ---- flush finished paths --------------------------------------
-        flush = pending & ~alive
-        n_flush = jnp.sum(flush.astype(jnp.int32))
-        if cfg.sort_rays:
+            # ---- flush finished paths (a contiguous tail post-sort) --
+            flush = pending & ~alive
+            n_flush = jnp.sum(flush.astype(jnp.int32))
+
             def flush_tail(accum):
                 sl = slice(p - flush_cap, p)
                 return accum.at[pixid[sl]].add(
@@ -163,39 +176,72 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             flushed = flush & (jax.lax.broadcasted_iota(
                 jnp.int32, (p,), 0) >= (p - flush_cap))
             flushed = jnp.where(n_flush <= flush_cap, flushed, flush)
+            pending = pending & ~flushed
+            return (origin, direction, mask, acc, seed, alive, pending,
+                    prev_pdf, bounce, pixid, accum)
+
+        args = (origin, direction, mask, acc, seed, alive, pending,
+                prev_pdf, bounce, pixid, accum)
+        if cfg.sort_rays:
+            if cfg.sort_every > 1:
+                args = jax.lax.cond(st["it"] % cfg.sort_every == 0,
+                                    sort_and_flush, lambda a: a, args)
+            else:
+                args = sort_and_flush(args)
+            (origin, direction, mask, acc, seed, alive, pending,
+             prev_pdf, bounce, pixid, accum) = args
         else:
+            flush = pending & ~alive
             accum = accum.at[pixid].add(
                 jnp.where(flush[:, None], acc, 0.0))
-            flushed = flush
-        pending = pending & ~flushed
+            pending = pending & ~flush
 
         # ---- regenerate free lanes with new work items -----------------
-        free = ~alive & ~pending
-        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        item = next_work + rank
-        valid = free & (item < total)
-        sampi = jnp.where(valid, item // npix, 0)
-        pixi = jnp.where(valid, item % npix, 0)
-        px, py = pix_coords(pixi)
-        useed = jnp.take(ubo_seeds, sampi, axis=0)
-        nseed = seed_from_pixel(useed, jnp.stack([px, py], -1),
-                                parity=cfg.parity_rng)
-        o_new, d_new, nseed = generate_ray(
-            cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
-            active=valid, rand=get_rand(cfg.parity_rng))
-        vx = valid[:, None]
-        origin = jnp.where(vx, o_new, origin)
-        direction = jnp.where(vx, d_new, direction)
-        mask = jnp.where(vx, 1.0, mask)
-        acc = jnp.where(vx, 0.0, acc)
-        seed = jnp.where(vx, nseed, seed)
-        bounce = jnp.where(valid, 0, bounce)
-        pixid = jnp.where(valid, pixi, pixid)
-        alive = alive | valid
-        pending = pending | valid
-        skip_emit = skip_emit & ~valid
-        next_work = jnp.minimum(
-            next_work + jnp.sum(free.astype(jnp.int32)), total)
+        def regen(args):
+            (origin, direction, mask, acc, seed, alive, pending,
+             prev_pdf, bounce, pixid, next_work) = args
+            free = ~alive & ~pending
+            rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            item = next_work + rank
+            valid = free & (item < total)
+            sampi = jnp.where(valid, item // npix, 0)
+            pixi = jnp.where(valid, item % npix, 0)
+            px, py = pix_coords(pixi)
+            useed = jnp.take(ubo_seeds, sampi, axis=0)
+            nseed = seed_from_pixel(useed, jnp.stack([px, py], -1),
+                                    parity=cfg.parity_rng)
+            o_new, d_new, nseed = generate_ray(
+                cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
+                active=valid, rand=get_rand(cfg.parity_rng))
+            vx = valid[:, None]
+            origin = jnp.where(vx, o_new, origin)
+            direction = jnp.where(vx, d_new, direction)
+            mask = jnp.where(vx, 1.0, mask)
+            acc = jnp.where(vx, 0.0, acc)
+            seed = jnp.where(vx, nseed, seed)
+            bounce = jnp.where(valid, 0, bounce)
+            pixid = jnp.where(valid, pixi, pixid)
+            alive = alive | valid
+            pending = pending | valid
+            prev_pdf = jnp.where(valid, 0.0, prev_pdf)
+            next_work = jnp.minimum(
+                next_work + jnp.sum(free.astype(jnp.int32)), total)
+            return (origin, direction, mask, acc, seed, alive, pending,
+                    prev_pdf, bounce, pixid, next_work)
+
+        args = (origin, direction, mask, acc, seed, alive, pending,
+                prev_pdf, bounce, pixid, next_work)
+        if cfg.lazy_regen > 0:
+            free = ~alive & ~pending
+            n_free = jnp.sum(free.astype(jnp.int32))
+            remaining = total - next_work
+            do_regen = ((n_free * cfg.lazy_regen >= p)
+                        | ((remaining > 0) & (remaining <= n_free)))
+            args = jax.lax.cond(do_regen, regen, lambda a: a, args)
+        else:
+            args = regen(args)
+        (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
+         bounce, pixid, next_work) = args
 
         # ---- park dead lanes ------------------------------------------
         # Lanes that are retired-but-unflushed or out of work still ride
@@ -211,20 +257,26 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
         t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
         shaded_alive = alive
-        origin, direction, acc, mask, alive, seed, skip_emit = shade_step(
+        origin, direction, acc, mask, alive, seed, prev_pdf = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri, skip_emit=skip_emit, isect=isect)
+            t, obj, tri, prev_pdf=prev_pdf, isect=isect)
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
         alive = alive & (bounce < cfg.max_depth)
 
         return dict(origin=origin, direction=direction, mask=mask, acc=acc,
                     seed=seed, alive=alive, pending=pending,
-                    skip_emit=skip_emit, bounce=bounce,
+                    prev_pdf=prev_pdf, bounce=bounce,
                     pixid=pixid, next_work=next_work, accum=accum,
                     rays=rays, it=st["it"] + 1)
 
     state = jax.lax.while_loop(cond, body, state)
     accum = state["accum"]
+    # A final full flush drains paths the while-exit left unflushed
+    # (with sort_every > 1 the loop can exit between maintenance
+    # passes; harmless no-op otherwise).
+    final_flush = state["pending"] & ~state["alive"]
+    accum = accum.at[state["pixid"]].add(
+        jnp.where(final_flush[:, None], state["acc"], 0.0))
     if blocked:
         accum = accum.reshape(h // bh, w // bw, bh, bw, 3).transpose(
             0, 2, 1, 3, 4)

@@ -132,7 +132,7 @@ def main():
 
         origin, direction, acc, mask, alive, seed, skip = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed,
-            jnp.int32(bounce), t, obj, tri, skip_emit=skip,
+            jnp.int32(bounce), t, obj, tri, prev_pdf=jnp.zeros_like(t),
             isect=intersect_scene)
 
 

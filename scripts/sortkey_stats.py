@@ -123,7 +123,7 @@ def main():
         src_cl = tri2cl[np.maximum(tri_np, 0)].astype(np.int64)
         origin, direction, acc, mask, alive, seed, skip = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed,
-            jnp.int32(bounce), t, obj, tri, skip_emit=skip,
+            jnp.int32(bounce), t, obj, tri, prev_pdf=jnp.zeros_like(t),
             isect=intersect_scene)
 
 

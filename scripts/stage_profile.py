@@ -62,7 +62,7 @@ def main():
 
     @jax.jit
     def regen(origin, direction, mask, acc, seed, alive, pending,
-              skip_emit, bounce, pixid, next_work):
+              prev_pdf, bounce, pixid, next_work):
         dead = ~alive
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         item = next_work + rank
@@ -82,13 +82,13 @@ def main():
                 jnp.where(vx, nseed, seed),
                 jnp.where(valid, 0, bounce),
                 jnp.where(valid, pixi, pixid), alive | valid,
-                pending | valid, skip_emit & ~valid,
+                pending | valid, jnp.where(valid, 0.0, prev_pdf),
                 jnp.minimum(next_work + jnp.sum(dead.astype(jnp.int32)),
                             total))
 
     @jax.jit
     def sort_pool(origin, direction, mask, acc, seed, alive, pending,
-                  skip_emit, bounce, pixid):
+                  prev_pdf, bounce, pixid):
         bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         key = jnp.where(alive, ray_sort_key(scene, origin, direction),
@@ -98,14 +98,14 @@ def main():
             bf(bounce)[:, None], bf(pixid)[:, None],
             bf(alive.astype(jnp.int32))[:, None],
             bf(pending.astype(jnp.int32))[:, None],
-            bf(skip_emit.astype(jnp.int32))[:, None]], axis=1)
+            prev_pdf[:, None]], axis=1)
         _, perm = jax.lax.sort_key_val(key, jnp.arange(p, dtype=jnp.int32))
         packed = jnp.take(packed, perm, axis=0)
         return (packed[:, 0:3], packed[:, 3:6], packed[:, 6:9],
                 packed[:, 9:12],
                 bi(packed[:, 12:14]).astype(jnp.uint32),
                 bi(packed[:, 16]) != 0, bi(packed[:, 17]) != 0,
-                bi(packed[:, 18]) != 0, bi(packed[:, 14]),
+                packed[:, 18], bi(packed[:, 14]),
                 bi(packed[:, 15]))
 
     @jax.jit
@@ -114,10 +114,10 @@ def main():
 
     @jax.jit
     def shade(origin, direction, acc, mask, alive, seed, bounce, t,
-              obj, tri, skip_emit):
+              obj, tri, prev_pdf):
         return shade_step(scene, cfg, origin, direction, acc, mask,
                           alive, seed, bounce, t, obj, tri,
-                          skip_emit=skip_emit, isect=isect, rand=rand)
+                          prev_pdf=prev_pdf, isect=isect, rand=rand)
 
     @jax.jit
     def flush(accum, pixid, pending, alive, acc, bounce):
@@ -131,7 +131,7 @@ def main():
     mask = jnp.ones((p, 3)); acc = jnp.zeros((p, 3))
     seed = jnp.zeros((p, 2), jnp.uint32)
     alive = jnp.zeros((p,), bool); pending = jnp.zeros((p,), bool)
-    skip_emit = jnp.zeros((p,), bool)
+    prev_pdf = jnp.zeros((p,))
     bounce = jnp.zeros((p,), jnp.int32); pixid = jnp.zeros((p,), jnp.int32)
     next_work = jnp.zeros((), jnp.int32)
     accum = jnp.zeros((npix, 3))
@@ -154,17 +154,17 @@ def main():
     for it in range(args.iters):
         t0 = time.perf_counter()
         out = regen(origin, direction, mask, acc, seed, alive, pending,
-                    skip_emit, bounce, pixid, next_work)
+                    prev_pdf, bounce, pixid, next_work)
         sync(out)
         (origin, direction, mask, acc, seed, bounce, pixid, alive,
-         pending, skip_emit, next_work) = out
+         pending, prev_pdf, next_work) = out
         stages["regen"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         out = sort_pool(origin, direction, mask, acc, seed, alive,
-                        pending, skip_emit, bounce, pixid)
+                        pending, prev_pdf, bounce, pixid)
         sync(out)
-        (origin, direction, mask, acc, seed, alive, pending, skip_emit,
+        (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
          bounce, pixid) = out
         stages["sort"].append(time.perf_counter() - t0)
 
@@ -176,9 +176,9 @@ def main():
         t0 = time.perf_counter()
         shaded_alive = alive
         out = shade(origin, direction, acc, mask, alive, seed, bounce,
-                    t, obj, tri, skip_emit)
+                    t, obj, tri, prev_pdf)
         sync(out)
-        origin, direction, acc, mask, alive, seed, skip_emit = out
+        origin, direction, acc, mask, alive, seed, prev_pdf = out
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
         stages["shade"].append(time.perf_counter() - t0)
 

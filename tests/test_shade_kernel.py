@@ -41,7 +41,7 @@ def test_shade_kernel_matches_jnp(cornell_scene, parity):
     acc = jnp.zeros((n, 3))
     mask = jnp.ones((n, 3))
     alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
-    skip = jnp.asarray(np.random.default_rng(4).random(n) < 0.2)
+    prev_pdf = jnp.zeros((n,), jnp.float32)
     bounce = jnp.asarray(
         np.random.default_rng(5).integers(0, 8, n), jnp.int32)
 
@@ -50,15 +50,15 @@ def test_shade_kernel_matches_jnp(cornell_scene, parity):
         cfg = cfg0.replace(shade=mode, parity_rng=parity, shade_tile=256)
         outs[mode] = shade_step(scene, cfg, origin, direction, acc, mask,
                                 alive, seed, bounce, t, obj, tri,
-                                skip_emit=skip)
+                                prev_pdf=prev_pdf)
 
     names = ("origin", "direction", "acc", "mask", "alive", "seed",
-             "skip_emit")
+             "prev_pdf")
     ordered = {n: (np.asarray(a), np.asarray(b)) for n, a, b in zip(
         names, outs["jnp"], outs["shade_interpret"])}
     # Hard invariants first: identical RNG streams and masks (these
     # encode the control flow — any drift here is a real bug).
-    for name in ("seed", "alive", "skip_emit"):
+    for name in ("seed", "alive", "prev_pdf"):
         np.testing.assert_array_equal(*ordered[name], err_msg=name)
     # Floats: 3-term dot products associate differently between the
     # fused kernel and jnp.sum, and the 16-order walk amplifies the

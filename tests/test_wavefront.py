@@ -89,3 +89,22 @@ def test_progressive_wavefront_mode(cornell_scene):
     r2.step(2)
     close = np.isclose(a, r2.radiance(), rtol=1e-4, atol=1e-6).all(axis=-1)
     assert close.mean() > 0.995
+
+
+@pytest.mark.parametrize("knobs", [dict(sort_every=2),
+                                   dict(lazy_regen=4),
+                                   dict(sort_every=3, lazy_regen=8)])
+def test_wavefront_scheduling_knobs_preserve_image(cornell_scene, knobs):
+    """sort_every / lazy_regen change only WHEN maintenance passes run;
+    per-work-item radiance (and traced-ray counts) must be unchanged."""
+    base = RenderConfig(width=32, height=32, max_depth=5, intersect="bvh")
+    cam = cornell_scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray(SEEDS[:2], jnp.uint32))
+    ref, rays_ref = render_wavefront(cornell_scene, base, *args, pool=512)
+    out, rays_out = render_wavefront(cornell_scene,
+                                     base.replace(**knobs), *args,
+                                     pool=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert float(rays_ref) == float(rays_out)
