@@ -344,7 +344,13 @@ def load_gltf(path: str) -> Gltf:
 
 def _decode_image(img: Optional[dict], buffers: list[bytes], doc: dict,
                   base_dir: str) -> np.ndarray:
-    """Decode an embedded/external PNG into RGBA8 (JPEG unsupported → 1px)."""
+    """Decode an embedded/external PNG or JPEG into RGBA8.
+
+    Missing images (no source / absent file) fall back to 1x1 white —
+    matching the renderer's untextured default — but an image that is
+    PRESENT and fails to decode raises, instead of silently shipping
+    white pixels (reference feeds raw asset pixels unconditionally,
+    src/PTSceneConverter.cpp:243-389)."""
     if img is None:
         return np.full((1, 1, 4), 255, np.uint8)
     data = None
@@ -363,8 +369,25 @@ def _decode_image(img: Optional[dict], buffers: list[bytes], doc: dict,
                 data = open(p, "rb").read()
     if data is None:
         return np.full((1, 1, 4), 255, np.uint8)
-    from logipathtracer_tpu.film.png import decode_png
-    try:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from logipathtracer_tpu.film.png import decode_png
         return decode_png(data)
-    except Exception:
-        return np.full((1, 1, 4), 255, np.uint8)
+    if data[:2] == b"\xff\xd8":
+        from logipathtracer_tpu.film.jpeg import decode_jpeg
+        try:
+            return decode_jpeg(data)
+        except ValueError:
+            # Progressive/arithmetic JPEGs: fall through to PIL when
+            # the environment has it; re-raise otherwise.
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise
+            arr = np.asarray(
+                Image.open(io.BytesIO(data)).convert("RGBA"), np.uint8)
+            return arr
+    raise ValueError(
+        f"unsupported image format (magic {data[:4]!r}) for "
+        f"{img.get('uri', img.get('name', '<embedded>'))}")
