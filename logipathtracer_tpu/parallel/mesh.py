@@ -32,6 +32,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from logipathtracer_tpu.config import RenderConfig
 from logipathtracer_tpu.render.megakernel import render_rows
+from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+from logipathtracer_tpu.utils.log import get_logger
+
+log = get_logger("mesh")
 
 
 def make_mesh(devices=None, samples: int | None = None,
@@ -51,50 +55,120 @@ def make_mesh(devices=None, samples: int | None = None,
     return Mesh(arr, ("samples", "tiles"))
 
 
-class MeshRenderer:
-    """Progressive accumulation sharded over a 2-D mesh.
+class MeshRenderer(ProgressiveRenderer):
+    """Progressive accumulation sharded over a 2-D mesh — the same
+    session protocol as ProgressiveRenderer (camera dirty/reset,
+    throughput metrics, checkpoint/resume), scaled across chips.
 
     State: accum [S, H, W, 3] with the S axis sharded over ``samples``
-    and H over ``tiles``.  Every step() renders S more samples (one per
-    sample-slice)."""
+    and H over ``tiles``.  Every mesh round renders S more samples (one
+    per sample-slice)."""
 
     def __init__(self, scene, config: RenderConfig, mesh: Mesh,
                  camera=None, host_seed: int = 0):
         self.mesh = mesh
-        self.scene = scene
-        self.config = config
-        cam = camera or scene.cameras[0]
-        self.camera_world = np.asarray(cam.world_matrix, np.float32)
-        self.fov_y = float(cam.yfov)
-        self._host_rng = np.random.default_rng(host_seed)
         s = mesh.shape["samples"]
         t = mesh.shape["tiles"]
         h, w = config.render_height, config.render_width
         assert h % t == 0, f"height {h} not divisible by tile axis {t}"
-        self.sample_count = 0
-        sharding = NamedSharding(mesh, P("samples", "tiles"))
+        super().__init__(scene, config, camera=camera, host_seed=host_seed)
+        self._sharding = NamedSharding(mesh, P("samples", "tiles"))
         self.accum = jax.device_put(jnp.zeros((s, h, w, 3), jnp.float32),
-                                    sharding)
-        self._step = _build_step(mesh, config, scene)
+                                    self._sharding)
+        self._mesh_step = _build_step(mesh, config, scene)
 
-    def step(self, reset: bool = False):
+    def _reset_session(self):
+        self.sample_count = 0
+        self.total_rays = 0.0
+        self._session_samples = 0
+        self._session_rays = 0.0
+        self._elapsed = 0.0
+
+    def step(self, samples: int | None = None):
+        """Render at least ``samples`` more samples (default: one mesh
+        round = S samples, the sample-axis width)."""
+        import time
+
         s = self.mesh.shape["samples"]
-        seeds = jnp.asarray(
-            self._host_rng.integers(1, 2 ** 31, (s, 2), dtype=np.int64),
-            jnp.uint32)
-        if reset:
-            self.sample_count = 0
-        self.accum, rays = self._step(
-            self.scene, jnp.asarray(self.camera_world),
-            jnp.float32(self.fov_y), seeds, self.accum,
-            jnp.asarray(reset or self.sample_count == 0))
-        self.sample_count += s
-        return rays
+        rounds = 1 if samples is None else -(-samples // s)
+        for _ in range(rounds):
+            if self._dirty:
+                # Reset protocol (src/RendererPT.cpp:575-581).
+                self._reset_session()
+            seeds = jnp.asarray(
+                self._host_rng.integers(1, 2 ** 31, (s, 2),
+                                        dtype=np.int64), jnp.uint32)
+            t0 = time.perf_counter()
+            self.accum, rays = self._mesh_step(
+                self.scene, jnp.asarray(self.camera_world),
+                jnp.float32(self.fov_y), seeds, self.accum,
+                jnp.asarray(self._dirty or self.sample_count == 0))
+            jax.block_until_ready(self.accum)
+            self._elapsed += time.perf_counter() - t0
+            r = float(np.asarray(rays).sum())
+            self.sample_count += s
+            self._session_samples += s
+            self.total_rays += r
+            self._session_rays += r
+            self._dirty = False
+            if self.sample_count % (10 * s) < s:
+                log.info("samples: %d  samples/s: %.3f  Mrays/s: %.2f",
+                         self.sample_count, self.samples_per_sec(),
+                         self.mrays_per_sec())
+        return self
 
     def radiance(self) -> np.ndarray:
         """Mean radiance [H, W, 3]: psum over the samples axis."""
         total = jnp.sum(self.accum, axis=0)  # GSPMD inserts the reduce
         return np.asarray(total) / max(self.sample_count, 1)
+
+    def image(self):
+        """Tonemapped display image (see ProgressiveRenderer.image)."""
+        from logipathtracer_tpu.film.image import tonemap
+
+        accum = jnp.sum(self.accum, axis=0)
+        sc = self.config.render_scale
+        if sc > 1:
+            h, w = self.config.height, self.config.width
+            accum = accum.reshape(h, sc, w, sc, 3).mean(axis=(1, 3))
+        return tonemap(accum, max(self.sample_count, 1),
+                       exposure=self.config.exposure,
+                       gamma=self.config.gamma)
+
+    # -- checkpoint / resume: mesh-shape independent --------------------
+    # The accumulator is additive, so the checkpoint stores the sample-
+    # axis SUM [H, W, 3]; restore places it in sample-slice 0 (zeros
+    # elsewhere), valid for any mesh shape — a checkpoint taken on an
+    # 8-chip mesh resumes on 4 chips and vice versa.
+
+    def checkpoint(self, path: str):
+        path = self.checkpoint_path(path)
+        st = self._host_rng.bit_generator.state["state"]
+        np.savez(path, accum=np.asarray(jnp.sum(self.accum, axis=0)),
+                 sample_count=self.sample_count,
+                 total_rays=self.total_rays,
+                 camera_world=self.camera_world, fov_y=self.fov_y,
+                 rng_state=np.str_(str(st["state"])),
+                 rng_inc=np.str_(str(st["inc"])))
+
+    def restore(self, path: str):
+        data = np.load(self.checkpoint_path(path))
+        host = np.zeros(self.accum.shape, np.float32)
+        host[0] = data["accum"]
+        self.accum = jax.device_put(host, self._sharding)
+        self.sample_count = int(data["sample_count"])
+        self.total_rays = float(data["total_rays"])
+        self.camera_world = data["camera_world"].astype(np.float32)
+        self.fov_y = float(data["fov_y"])
+        st = self._host_rng.bit_generator.state
+        st["state"]["state"] = int(str(data["rng_state"]))
+        st["state"]["inc"] = int(str(data["rng_inc"]))
+        self._host_rng.bit_generator.state = st
+        self._dirty = False
+        self._session_samples = 0
+        self._session_rays = 0.0
+        self._elapsed = 0.0
+        return self
 
 
 def _build_step(mesh: Mesh, cfg: RenderConfig, scene):

@@ -76,6 +76,11 @@ class ProgressiveRenderer:
 
     # -- camera (src/Main.cpp:57-93 semantics) -------------------------
 
+    def reset(self):
+        """Restart accumulation on the next step (the reference's
+        camera-dirty path without moving the camera)."""
+        self._dirty = True
+
     def set_camera(self, world_matrix, fov_y: float | None = None):
         self.camera_world = np.asarray(world_matrix, np.float32).copy()
         if fov_y is not None:
