@@ -135,7 +135,7 @@ def _concentric_disk(r1, r2):
 
 def heitz_sample(base_color, view_dir, roughness, transmission, ior,
                  outside, lobe, seed, active, max_order: int = 16,
-                 rand=rand_parity_masked):
+                 rand=rand_parity_masked, eval_dir=None, eval_mask=None):
     """Fused Heitz random walk for all three lobes.
 
     Args:
@@ -148,8 +148,21 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
       lobe:       [...] int32 in {0,1,2}.
       seed:       [..., 2] uint32 parity-RNG state.
       active:     [...] bool — lanes that shade at all.
+      eval_dir:   optional [..., 3] tangent-space direction toward a
+                  light sample.  When given, the walk ALSO estimates the
+                  diffuse-lobe BSDF-times-cosine toward it (stochastic
+                  evaluation along the sampling walk, Heitz 2016 §5.1:
+                  at every scattering vertex add
+                  energy * phase(-> eval_dir) * P_escape(eval_dir, h),
+                  where P_escape is the same exponential free-path model
+                  the walk's own height sampler uses).  Consumes NO
+                  extra rands; exact in expectation for this
+                  microsurface model — the unbiased NEE hook.
+      eval_mask:  [...] bool — lanes whose eval estimate is wanted.
 
-    Returns (weight [..., 3], light_dir [..., 3] tangent space, seed').
+    Returns (weight [..., 3], light_dir [..., 3] tangent space, seed')
+    or, when eval_dir is given, (weight, light_dir, seed',
+    f_eval [..., 3] — estimate of f_diffuse(view, eval_dir) * cos).
     """
     alpha = roughness * roughness
     is_diff = active & (lobe == LOBE_DIFFUSE)
@@ -167,6 +180,19 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
     walk_outside = jnp.ones_like(outside)
 
     walking = active
+
+    if eval_dir is not None:
+        f_eval = jnp.zeros_like(base_color)
+        # Escape probability toward the light: the walk's free-path
+        # model (sample_ggx_height) draws delta ~ Exp(mean w.z/proj(w));
+        # from height h < 0 the segment leaves the surface with
+        # P(h + delta > 0) = exp(h * proj / w.z).
+        scaled_l = eval_dir * jnp.stack(
+            [alpha, alpha, jnp.ones_like(alpha)], -1)
+        proj_l = jnp.maximum(
+            0.5 * (jnp.sqrt(jnp.sum(scaled_l * scaled_l, axis=-1))
+                   - eval_dir[..., 2]), 1e-7)
+        esc_rate = proj_l / jnp.maximum(eval_dir[..., 2], 1e-7)
 
     for _ in range(max_order):
         # --- height sample: 1 rand on walking lanes -------------------
@@ -220,6 +246,18 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
         walk_outside = jnp.where(t_mask & ~reflect_choice,
                                  ~walk_outside, walk_outside)
 
+        # --- NEE stochastic eval (diffuse lobe only) -------------------
+        if eval_dir is not None:
+            # Diffuse phase value toward the light through THIS vertex's
+            # sampled micro-normal (one-sample estimator), attenuated by
+            # the escape probability from the vertex height.
+            phase_l = jnp.maximum(
+                jnp.sum(eval_dir * micro, axis=-1), 0.0) / PI
+            esc = jnp.exp(jnp.minimum(height * esc_rate, 0.0))
+            em = cont & is_diff & eval_mask & (eval_dir[..., 2] > 0.0)
+            f_eval = f_eval + jnp.where(
+                em, phase_l * esc, 0.0)[..., None] * (energy * base_color)
+
         # --- merge ----------------------------------------------------
         new_dir = jnp.where(
             is_diff[..., None], diff_dir,
@@ -241,6 +279,8 @@ def heitz_sample(base_color, view_dir, roughness, transmission, ior,
     light_dir = jnp.where(d_ex[..., None], up_dir, light_dir)
     # Dielectric always returns F0 (heitz/BSDF.glsl:208).
     weight = jnp.where(is_trans[..., None], base_color, energy)
+    if eval_dir is not None:
+        return weight, light_dir, seed, f_eval
     return weight, light_dir, seed
 
 

@@ -382,15 +382,17 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
     # --- next-event estimation + MIS (cfg.nee; beyond reference) ------
     # Balance-heuristic MIS between area light sampling and the BSDF
-    # sample on diffuse vertices.  The diffuse lobe's directional pdf is
-    # taken as cos/pi: EXACT for the basic BSDF (cosine sampling,
-    # basic/BSDF.glsl:3-11, whose weight F0*cos implies f = F0*cos/pi),
-    # APPROXIMATE for the Heitz multiple-scattering diffuse walk (no
-    # closed form exists; the light-sample f uses the Lambert
-    # approximation base/pi — documented preview-grade bias, bounded by
-    # the MIS weights; see PARITY.md).
+    # sample on diffuse vertices.  The diffuse lobe's MIS pdf proxy is
+    # cos/pi: EXACT for the basic BSDF (cosine sampling,
+    # basic/BSDF.glsl:3-11, whose weight F0*cos implies f = F0*cos/pi);
+    # for the Heitz multiple-scattering diffuse it is only the MIS
+    # weighting heuristic (any w_light + w_emit = 1 stays unbiased).
+    # The Heitz light-sample f itself is estimated UNBIASEDLY along the
+    # sampling walk (bsdf.heitz_sample eval_dir — phase toward the
+    # light x escape probability at every microsurface vertex).
     new_pdf = jnp.zeros_like(prev_pdf)
-    if cfg.nee and scene.num_lights > 0 and isect is not None:
+    nee_on = cfg.nee and scene.num_lights > 0 and isect is not None
+    if nee_on:
         nee_mask = alive & (lobe == bsdf.LOBE_DIFFUSE)
         r1, seed = rand(seed, nee_mask)
         r2, seed = rand(seed, nee_mask)
@@ -414,38 +416,52 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
             jnp.sum(ln * ln, axis=-1, keepdims=True)), 1e-20)
         cos_l = jnp.abs(jnp.sum(ln * -wl, axis=-1))  # two-sided emitter
         cos_s = jnp.sum(ff * wl, axis=-1)
+        # Light direction in tangent space (for the walk's eval hook).
+        wl_t = jnp.stack([jnp.sum(wl * u, axis=-1),
+                          jnp.sum(wl * v, axis=-1), cos_s], -1)
         # Shadow query with t_max: clusters behind the light are pruned
         # in the kernel (the sweep's any-hit analog).
         t_lim = dist * (1.0 - 1e-3)
         t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps, t_max=t_lim)
         visible = t_s >= t_lim
-        if cfg.use_microfacet:
-            f_d = base_color[:, :3] / jnp.pi
-        else:
-            f_d = base_color[:, :3] * jnp.maximum(cos_s, 0.0)[:, None] \
-                / jnp.pi
         p_light = dist2 / (jnp.maximum(cos_l, 1e-9)
                            * scene.total_light_area)
         p_bsdf_l = jnp.maximum(cos_s, 0.0) / jnp.pi
         w_light = (p_light / (p_light + p_bsdf_l) if cfg.nee_mis
                    else jnp.ones_like(p_light))
-        geom = cos_s * cos_l * scene.total_light_area / dist2
-        contrib = mask * le * f_d * (geom * w_light)[:, None]
-        use = nee_mask & visible & (cos_s > 0.0)
-        acc = acc + jnp.where(use[:, None], contrib, 0.0)
 
     if cfg.use_microfacet:
-        weight, ldir_t, seed = bsdf.heitz_sample(
-            base_color[:, :3], view, roughness, transmission, ior,
-            outside, lobe, seed, alive, max_order=cfg.heitz_max_order,
-            rand=rand)
+        if nee_on:
+            weight, ldir_t, seed, f_eval = bsdf.heitz_sample(
+                base_color[:, :3], view, roughness, transmission, ior,
+                outside, lobe, seed, alive, max_order=cfg.heitz_max_order,
+                rand=rand, eval_dir=wl_t, eval_mask=nee_mask)
+        else:
+            weight, ldir_t, seed = bsdf.heitz_sample(
+                base_color[:, :3], view, roughness, transmission, ior,
+                outside, lobe, seed, alive, max_order=cfg.heitz_max_order,
+                rand=rand)
     else:
         weight, ldir_t, seed = bsdf.basic_sample(
             base_color[:, :3], view, transmission, ior,
             outside, lobe, seed, alive, rand=rand)
 
+    if nee_on:
+        if cfg.use_microfacet:
+            # f_eval already carries the surface cosine (it estimates
+            # f * cos_s); only the light-side geometry remains.
+            contrib = mask * le * f_eval * (
+                cos_l * scene.total_light_area / dist2 * w_light)[:, None]
+        else:
+            f_d = base_color[:, :3] * jnp.maximum(cos_s, 0.0)[:, None] \
+                / jnp.pi
+            geom = cos_s * cos_l * scene.total_light_area / dist2
+            contrib = mask * le * f_d * (geom * w_light)[:, None]
+        use = nee_mask & visible & (cos_s > 0.0)
+        acc = acc + jnp.where(use[:, None], contrib, 0.0)
+
     mask = jnp.where(alive[:, None], mask * weight, mask)
-    if cfg.nee and scene.num_lights > 0 and isect is not None:
+    if nee_on:
         # pdf (solid angle, cos/pi) of the direction the diffuse lobe
         # just sampled — consumed by the NEXT vertex's emission weight.
         new_pdf = jnp.where(nee_mask,
