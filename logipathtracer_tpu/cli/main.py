@@ -40,6 +40,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max-depth", type=int, default=10)
     p.add_argument("--basic", action="store_true",
                    help="basic single-scatter BSDFs instead of Heitz")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation with MIS (beyond the "
+                        "reference; breaks reference RNG parity)")
     p.add_argument("--seed", type=int, default=0, help="host RNG seed")
     p.add_argument("--camera", type=int, default=0, help="camera index")
     p.add_argument("--leaf-size", type=int, default=4)
@@ -66,6 +69,7 @@ def _build(args):
                        render_scale=args.render_scale,
                        max_depth=args.max_depth,
                        use_microfacet=not args.basic,
+                       nee=args.nee,
                        bvh_leaf_size=args.leaf_size)
     log.info("loading %s", args.scene)
     gltf = load_gltf(args.scene)

@@ -66,14 +66,23 @@ class RenderConfig:
                                   # (auto: wavefront on TPU, megakernel
                                   #  elsewhere)
     pool_size: int = 1 << 20      # wavefront ray-pool lanes
-    intersect: str = "auto"       # auto | sweep (Pallas, VMEM-resident) |
+    intersect: str = "auto"       # auto | compact (Pallas, VMEM-resident
+                                  # per-cluster ray compaction) | sweep
+                                  # (Pallas, VMEM-resident tile sweep) |
                                   # stream (Pallas, HBM-streamed clusters)
                                   # | sweep_jnp | sweep_interpret |
-                                  # stream_interpret | bvh (while-loop
-                                  # walk).  auto: sweep on TPU, stream
-                                  # when the scene exceeds the sweep's
-                                  # VMEM budget, bvh elsewhere.
+                                  # compact_interpret | stream_interpret
+                                  # | bvh (while-loop walk).  auto:
+                                  # compact on TPU, stream when the
+                                  # scene exceeds the VMEM budget, bvh
+                                  # elsewhere.
     sweep_tile: int = 1024        # rays per Pallas sweep tile
+    compact_tile: int = 2048      # rays per compaction-sweep tile
+                                  # (bigger tiles densify the per-
+                                  # cluster ray buckets)
+    compact_cap: int = 128        # compacted MT block width (rays per
+                                  # Moller-Trumbore pass of one fired
+                                  # cluster)
     stream_tile: int = 2048       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data)

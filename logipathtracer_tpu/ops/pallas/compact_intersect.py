@@ -1,0 +1,254 @@
+"""Per-cluster ray compaction sweep (Pallas TPU).
+
+The resident cluster sweep (cluster_intersect.py) fires a dense
+[128, S] Möller-Trumbore for every (128-ray sub-tile, cluster) pair
+whose slab union passes.  Measured on cornell bounce rays
+(scripts/bin_stats.py), a sorted 128-ray sub-tile's cluster union is
+~10x wider than any single ray's pass set — i.e. ~90% of the MT lanes
+test rays that could never hit the cluster.
+
+This kernel removes that waste *without per-lane gathers* (the VPU's
+worst case, measured ~20-30 ns/row at the XLA level — ROADMAP round-2
+notes): for each fired cluster it compacts exactly the rays whose slab
+test passed into dense CAP-lane blocks using one-hot matmuls on the
+(otherwise idle) MXU:
+
+    rank = exclusive prefix-sum of the hit mask     (two 0/1 matmuls)
+    P    = onehot(rank) & hit                       [128, CAP] per group
+    rays'= feats @ P                                (gather  — MXU)
+    t'   = Möller-Trumbore(rays', cluster)          [CAP, S]  (VPU)
+    out  = results @ P^T                            (scatter — MXU)
+
+One-hot f32 matmuls at precision=HIGHEST are bit-exact selections (the
+bf16x3 decomposition of any finite f32 below ~1e38 is exact, and a 0/1
+factor makes every partial product exact; verified on hardware in
+tests/test_compact.py), so results are bitwise identical to
+cluster_intersect_pallas: same front-to-back cluster order, same
+strict-< acceptance, same min-slot tie-break.
+
+Semantics match ops/traverse.intersect_scene (closest hit, t > eps).
+Reference analog: the per-ray BVH traversal of
+shaders/path_tracing.comp:130-209 — re-expressed as a scalar-uniform
+cluster sweep whose MT work tracks the per-ray truth instead of the
+tile union.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from logipathtracer_tpu.ops.pallas.cluster_intersect import (INF, _mt_cluster,
+                                                             _slab)
+
+# Internal miss sentinel.  Must stay exactly representable through the
+# one-hot matmul's bf16 hi/lo decomposition — the output INF (3.4e38)
+# overflows bf16's max normal (~3.39e38) and would round to inf, making
+# the decomposition lo term NaN.  Outputs convert back to INF on miss.
+BIG = 1e30
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dotg(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
+                    tris_ref, t_out, tri_out, obj_out, lray, best_t,
+                    best_tri, best_obj, *, num_objects: int,
+                    num_clusters: int, eps: float, tile: int, lanes: int,
+                    cap: int, has_tmax: bool):
+    g_n = tile // 128
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+
+    def obj_body(o, _):
+        m = [inv_ref[o, k] for k in range(12)]
+        lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
+        lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
+        lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
+        return 0
+
+    jax.lax.fori_loop(0, num_objects, obj_body, 0)
+
+    # t_max (NEE shadow) rays clamp to BIG: padded lanes carry INF,
+    # which is not matmul-safe (see BIG above); min() keeps semantics
+    # (scene t values are << 1e30).
+    best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
+                 if has_tmax else jnp.full((g_n, 128), BIG))
+    best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
+    best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+
+    # Prefix-sum / transpose helper matrices (0/1 — exact in bf16).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ii == jj).astype(jnp.float32)
+    ltri = (ii > jj).astype(jnp.float32)  # row l sums hits of l' < l
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 1)
+    gtri = (gi < gj).astype(jnp.float32)  # col g sums rows g' < g
+    ones_row = jnp.ones((1, 128), jnp.float32)
+
+    oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
+            + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
+            + (rays_ref[5, 0] > 0.0).astype(jnp.int32))
+
+    def cl_body(ci, _):
+        c = order_ref[oct_, ci]
+        obj = meta_ref[0, c]
+        tri_base = meta_ref[1, c]
+        lox = lray[obj, 0, :]
+        loy = lray[obj, 1, :]
+        loz = lray[obj, 2, :]
+        ldx = lray[obj, 3, :]
+        ldy = lray[obj, 4, :]
+        ldz = lray[obj, 5, :]
+        amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+        amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+        bt_flat = best_t[:].reshape(tile)
+        hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt_flat)
+
+        @pl.when(jnp.any(hit))
+        def _():
+            h2 = hit.astype(jnp.float32).reshape(g_n, 128)      # [G, 128]
+            # Transpose the hit mask so ranks live on sublanes (where
+            # the one-hot comparison needs them) — an MXU transpose,
+            # not a relayout.  All reductions stay 2-D (1-D [G] vectors
+            # trip Mosaic relayout bugs).
+            hit_t = _dotg(ident, h2, ((1,), (1,)))              # [128, G]
+            row_tot = _dotg(ones_row, hit_t, ((1,), (0,)))      # [1, G]
+            n = jnp.sum(row_tot)
+            # Row offsets: exclusive prefix over the G groups.
+            ro = _dotg(row_tot, gtri, ((1,), (0,)))             # [1, G]
+            colex = _dotg(ltri, hit_t, ((1,), (0,)))            # [128, G]
+            rank_t = colex + ro                                 # [128, G]
+            nb = jax.lax.convert_element_type(
+                jnp.ceil(n * (1.0 / cap)), jnp.int32)
+            iota_cap = jax.lax.broadcasted_iota(
+                jnp.int32, (128, cap), 1).astype(jnp.float32)
+
+            def onehot(g, basef):
+                return ((rank_t[:, g:g + 1] - basef == iota_cap)
+                        & (hit_t[:, g:g + 1] > 0.5)).astype(jnp.float32)
+
+            def block_body(b, _):
+                basef = jax.lax.convert_element_type(
+                    b, jnp.float32) * cap
+                acc = jnp.zeros((7, cap), jnp.float32)
+                for g in range(g_n):
+                    lo_, hi_ = g * 128, (g + 1) * 128
+                    feats = jnp.concatenate([
+                        lox[lo_:hi_][None, :], loy[lo_:hi_][None, :],
+                        loz[lo_:hi_][None, :], ldx[lo_:hi_][None, :],
+                        ldy[lo_:hi_][None, :], ldz[lo_:hi_][None, :],
+                        best_t[g, :][None, :]], axis=0)         # [7, 128]
+                    acc = acc + _dotg(feats, onehot(g, basef),
+                                      ((1,), (0,)))             # [7, cap]
+
+                t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                                acc[5], tris_ref[c], eps)       # [cap, S]
+                btc = acc[6]
+                ok = (t > eps) & (t < btc[:, None])
+                t = jnp.where(ok, t, BIG)
+                tmin = jnp.min(t, axis=1)
+                is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+                slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
+                upd = tmin < btc
+                res = jnp.concatenate([
+                    jnp.where(upd, tmin, 0.0)[None, :],
+                    jnp.where(upd, slot.astype(jnp.float32), 0.0)[None, :],
+                    upd.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
+                for g in range(g_n):
+                    outg = _dotg(res, onehot(g, basef),
+                                 ((1,), (1,)))                  # [3, 128]
+                    du = outg[2] > 0.5
+                    best_t[g, :] = jnp.where(du, outg[0], best_t[g, :])
+                    best_tri[g, :] = jnp.where(
+                        du, tri_base + outg[1].astype(jnp.int32),
+                        best_tri[g, :])
+                    best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
+                return 0
+
+            jax.lax.fori_loop(0, nb, block_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters, cl_body, 0)
+
+    t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
+    tri_out[0] = best_tri[:]
+    obj_out[0] = best_obj[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
+                                             "interpret", "has_tmax"))
+def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
+                              rays8, tile: int = 1024, cap: int = 128,
+                              eps: float = 1e-4, interpret: bool = False,
+                              has_tmax: bool = False):
+    """Closest hit via the compaction sweep; contract and array layouts
+    identical to cluster_intersect_pallas (cluster_intersect.py)."""
+    cl_meta = cl_meta.T      # [2, C]
+    cl_aabb = cl_aabb.T      # [8, C]
+    r = rays8.shape[1]
+    c, _, lanes = cl_tris.shape
+    o = cl_inv.shape[0]
+    assert tile % 128 == 0 and r % tile == 0 and cap % 128 == 0
+    sub = tile // 128
+
+    grid = (r // tile,)
+    kernel = functools.partial(
+        _compact_kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
+        lanes=lanes, cap=cap, has_tmax=has_tmax)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # order [8, C]
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # rays
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [C, 8]
+            pl.BlockSpec(cl_tris.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # tris
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((o, 6, tile), jnp.float32),   # local rays
+            pltpu.VMEM((sub, 128), jnp.float32),     # best_t
+            pltpu.VMEM((sub, 128), jnp.int32),       # best_tri
+            pltpu.VMEM((sub, 128), jnp.int32),       # best_obj
+        ],
+        interpret=interpret,
+    )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
+    return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))

@@ -145,9 +145,11 @@ def _padded_inverses(scene):
 
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
-                          t_max=None):
+                          t_max=None, cap: int = 128):
     """Closest hit via the gather-free cluster sweep
-    (ops/pallas/cluster_intersect.py).  Same contract as
+    (ops/pallas/cluster_intersect.py) or, with backend="compact", the
+    per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
+    ``cap`` = compacted MT block width).  Same contract as
     intersect_scene: returns (t, obj, tri)."""
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         cluster_intersect_jnp, cluster_intersect_pallas)
@@ -166,6 +168,14 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
         t, tri, obj = cluster_intersect_jnp(
             scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris, rays8,
             eps=eps, t_max=None if t_max is None else rays8[6, :])
+    elif backend in ("compact", "compact_interpret"):
+        from logipathtracer_tpu.ops.pallas.compact_intersect import \
+            cluster_intersect_compact
+        t, tri, obj = cluster_intersect_compact(
+            scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
+            scene.cl_tris, rays8, tile=tile, cap=cap, eps=eps,
+            interpret=(backend == "compact_interpret"),
+            has_tmax=t_max is not None)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

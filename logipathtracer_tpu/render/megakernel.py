@@ -71,18 +71,22 @@ def _stream_fits(cfg: RenderConfig, scene) -> bool:
 def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
     mode = cfg.intersect
     if mode == "auto":
-        mode = "sweep" if jax.default_backend() == "tpu" else "bvh"
-    if mode == "sweep" and scene is not None:
+        mode = "compact" if jax.default_backend() == "tpu" else "bvh"
+    if mode in ("sweep", "compact") and scene is not None:
         # cl_tris pads 9 component rows to 16 sublanes in VMEM, plus the
         # kernel's own scratch: per-object local rays [O, 6, tile], the
         # [8, tile] ray block, and 3 [tile/128, 128] best-hit buffers.
+        # The compact kernel adds in-register one-hot blocks bounded by
+        # a few [128, cap] tiles (counted as 8 such blocks).
         c, _, lanes = scene.cl_tris.shape
         o = scene.num_objects
-        tile = cfg.sweep_tile
+        tile = cfg.compact_tile if mode == "compact" else cfg.sweep_tile
         vmem = (c * 16 * lanes * 4         # triangles
                 + o * 6 * tile * 4         # local-ray scratch
                 + 8 * tile * 4             # ray block
                 + 6 * tile * 4)            # best t/tri/obj (+outputs)
+        if mode == "compact":
+            vmem += 8 * 128 * cfg.compact_cap * 4
         # SMEM tables (minor-dim 128 padding): meta [2,C], order [8,C],
         # aabb [8,C], inv [O,12].
         smem = (18 * _pad128(c) + o * 128) * 4
@@ -107,6 +111,10 @@ def pick_intersect(cfg: RenderConfig, scene=None):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret",
             t_max=t_max)
+    if mode in ("compact", "compact_interpret"):
+        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
+            s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
+            t_max=t_max, cap=cfg.compact_cap)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max)

@@ -1,0 +1,67 @@
+"""Compaction-sweep intersection (ops/pallas/compact_intersect.py):
+equivalence vs the BVH walk / jnp twin in interpret mode, t_max shadow
+semantics, and a full render.  The real-TPU path (incl. the one-hot
+HIGHEST matmul bit-exactness it relies on) is exercised by
+scripts/compact_probe.py and bench.py on hardware."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from logipathtracer_tpu.config import RenderConfig
+from logipathtracer_tpu.ops.traverse import (intersect_scene,
+                                             intersect_scene_sweep)
+from logipathtracer_tpu.render.megakernel import render_sample
+
+
+def _rays(scene, n, rng):
+    o = jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+@pytest.mark.parametrize("cap", [128, 256])
+def test_compact_matches_bvh(cornell_scene, rng, cap):
+    s = cornell_scene
+    o, d = _rays(s, 512, rng)
+    tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
+    tc, oc, rc = intersect_scene_sweep(s, o, d, backend="compact_interpret",
+                                       tile=256, cap=cap)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=2e-6,
+                               atol=1e-6)
+    # tri/obj may differ only where t is a near-tie (coplanar geometry).
+    tie = np.abs(np.asarray(tb) - np.asarray(tc)) \
+        <= 2e-6 * np.abs(np.asarray(tb))
+    diff = (np.asarray(rb) != np.asarray(rc)) \
+        | (np.asarray(ob) != np.asarray(oc))
+    assert (tie | ~diff).all()
+
+
+def test_compact_tmax_shadow(cornell_scene, rng):
+    """t_max queries must produce the same visibility predicate as the
+    full closest-hit query (the NEE shadow-ray contract)."""
+    s = cornell_scene
+    o, d = _rays(s, 256, rng)
+    dist = jnp.asarray(rng.uniform(0.1, 2.0, 256).astype(np.float32))
+    t_full, _, _ = jax.jit(intersect_scene)(s, o, d)
+    t_lim, _, _ = intersect_scene_sweep(s, o, d, backend="compact_interpret",
+                                        tile=256, t_max=dist)
+    vis_full = np.asarray(t_full) >= np.asarray(dist)
+    vis_lim = np.asarray(t_lim) >= np.asarray(dist)
+    np.testing.assert_array_equal(vis_full, vis_lim)
+
+
+def test_render_with_compact_matches_bvh(cornell_scene):
+    cfg_b = RenderConfig(width=16, height=16, max_depth=4, intersect="bvh")
+    cfg_c = cfg_b.replace(intersect="compact_interpret", compact_tile=256)
+    cam = cornell_scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray([48271, 16807], jnp.uint32))
+    a = np.asarray(render_sample(cornell_scene, cfg_b, *args))
+    b = np.asarray(render_sample(cornell_scene, cfg_c, *args))
+    # Same hits -> same radiance, except t near-ties on coplanar edges
+    # where the stochastic path diverges (same bound as test_sweep).
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.99, f"{(~close).sum()} divergent pixels"
