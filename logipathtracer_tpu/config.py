@@ -87,6 +87,8 @@ class RenderConfig:
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data)
     stream_chunk: int = 16        # clusters per streamed HBM block
+    stream_compact: bool = True   # streamed sweep uses the ray-
+                                  # compaction MT update (compact_cap)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

@@ -365,16 +365,18 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "interpret",
-                                    "has_tmax"))
+                                    "has_tmax", "cap"))
 def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
                              rays8, tile: int = 2048, chunk: int = 16,
                              eps: float = 1e-4, interpret: bool = False,
-                             has_tmax: bool = False):
+                             has_tmax: bool = False, cap: int = 0):
     """Closest hit via the HBM-streamed sweep (big scenes).
 
     Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
     used to build the world-space per-chunk cull AABBs.  All padding
-    (rays to ``tile``, clusters to ``chunk``) happens here.
+    (rays to ``tile``, clusters to ``chunk``) happens here.  cap > 0
+    switches the per-cluster MT to the ray-compaction update
+    (compact_intersect.py) with that block width.
     """
     r = rays8.shape[1]
     c, _, lanes = cl_tris.shape
@@ -419,9 +421,18 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
     aabb_t = cl_aabb.T
 
     grid = (r // tile, num_chunks)
-    kernel = functools.partial(
-        _stream_kernel, num_objects=o, chunk=chunk, num_chunks=num_chunks,
-        num_real=c, eps=eps, tile=tile, lanes=lanes, has_tmax=has_tmax)
+    if cap:
+        from logipathtracer_tpu.ops.pallas.compact_intersect import \
+            _stream_compact_kernel
+        kernel = functools.partial(
+            _stream_compact_kernel, num_objects=o, chunk=chunk,
+            num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
+            lanes=lanes, cap=cap, has_tmax=has_tmax)
+    else:
+        kernel = functools.partial(
+            _stream_kernel, num_objects=o, chunk=chunk,
+            num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
+            lanes=lanes, has_tmax=has_tmax)
 
     outs = pl.pallas_call(
         kernel,

@@ -60,6 +60,89 @@ def _dotg(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _prefix_consts(g_n: int):
+    """0/1 helper matrices for the in-kernel prefix sums (exact in any
+    matmul precision)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ii == jj).astype(jnp.float32)
+    ltri = (ii > jj).astype(jnp.float32)  # row l sums hits of l' < l
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 1)
+    gtri = (gi < gj).astype(jnp.float32)  # col g sums rows g' < g
+    ones_row = jnp.ones((1, 128), jnp.float32)
+    return ident, ltri, gtri, ones_row
+
+
+def _compact_cluster_update(hit, lox, loy, loz, ldx, ldy, ldz, trib,
+                            tri_base, obj, best_t, best_tri, best_obj,
+                            consts, slot_ids, *, g_n: int, cap: int,
+                            lanes: int, eps: float):
+    """Compact the slab-passing rays of ONE fired cluster into dense
+    CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them, and
+    scatter the improvements back into the best-hit scratch."""
+    ident, ltri, gtri, ones_row = consts
+    h2 = hit.astype(jnp.float32).reshape(g_n, 128)      # [G, 128]
+    # Transpose the hit mask so ranks live on sublanes (where the
+    # one-hot comparison needs them) — an MXU transpose, not a
+    # relayout.  All reductions stay 2-D (1-D [G] vectors trip Mosaic
+    # relayout bugs).
+    hit_t = _dotg(ident, h2, ((1,), (1,)))              # [128, G]
+    row_tot = _dotg(ones_row, hit_t, ((1,), (0,)))      # [1, G]
+    n = jnp.sum(row_tot)
+    # Row offsets: exclusive prefix over the G groups.
+    ro = _dotg(row_tot, gtri, ((1,), (0,)))             # [1, G]
+    colex = _dotg(ltri, hit_t, ((1,), (0,)))            # [128, G]
+    rank_t = colex + ro                                 # [128, G]
+    nb = jax.lax.convert_element_type(
+        jnp.ceil(n * (1.0 / cap)), jnp.int32)
+    iota_cap = jax.lax.broadcasted_iota(
+        jnp.int32, (128, cap), 1).astype(jnp.float32)
+
+    def onehot(g, basef):
+        return ((rank_t[:, g:g + 1] - basef == iota_cap)
+                & (hit_t[:, g:g + 1] > 0.5)).astype(jnp.float32)
+
+    def block_body(b, _):
+        basef = jax.lax.convert_element_type(b, jnp.float32) * cap
+        acc = jnp.zeros((7, cap), jnp.float32)
+        for g in range(g_n):
+            lo_, hi_ = g * 128, (g + 1) * 128
+            feats = jnp.concatenate([
+                lox[lo_:hi_][None, :], loy[lo_:hi_][None, :],
+                loz[lo_:hi_][None, :], ldx[lo_:hi_][None, :],
+                ldy[lo_:hi_][None, :], ldz[lo_:hi_][None, :],
+                best_t[g, :][None, :]], axis=0)         # [7, 128]
+            acc = acc + _dotg(feats, onehot(g, basef),
+                              ((1,), (0,)))             # [7, cap]
+
+        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                        acc[5], trib, eps)              # [cap, S]
+        btc = acc[6]
+        ok = (t > eps) & (t < btc[:, None])
+        t = jnp.where(ok, t, BIG)
+        tmin = jnp.min(t, axis=1)
+        is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+        slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
+        upd = tmin < btc
+        res = jnp.concatenate([
+            jnp.where(upd, tmin, 0.0)[None, :],
+            jnp.where(upd, slot.astype(jnp.float32), 0.0)[None, :],
+            upd.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
+        for g in range(g_n):
+            outg = _dotg(res, onehot(g, basef),
+                         ((1,), (1,)))                  # [3, 128]
+            du = outg[2] > 0.5
+            best_t[g, :] = jnp.where(du, outg[0], best_t[g, :])
+            best_tri[g, :] = jnp.where(
+                du, tri_base + outg[1].astype(jnp.int32),
+                best_tri[g, :])
+            best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
+        return 0
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
+
+
 def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
                     tris_ref, t_out, tri_out, obj_out, lray, best_t,
                     best_tri, best_obj, *, num_objects: int,
@@ -94,16 +177,7 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
-
-    # Prefix-sum / transpose helper matrices (0/1 — exact in bf16).
-    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    ident = (ii == jj).astype(jnp.float32)
-    ltri = (ii > jj).astype(jnp.float32)  # row l sums hits of l' < l
-    gi = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 1)
-    gtri = (gi < gj).astype(jnp.float32)  # col g sums rows g' < g
-    ones_row = jnp.ones((1, 128), jnp.float32)
+    consts = _prefix_consts(g_n)
 
     oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
             + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
@@ -126,66 +200,10 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
 
         @pl.when(jnp.any(hit))
         def _():
-            h2 = hit.astype(jnp.float32).reshape(g_n, 128)      # [G, 128]
-            # Transpose the hit mask so ranks live on sublanes (where
-            # the one-hot comparison needs them) — an MXU transpose,
-            # not a relayout.  All reductions stay 2-D (1-D [G] vectors
-            # trip Mosaic relayout bugs).
-            hit_t = _dotg(ident, h2, ((1,), (1,)))              # [128, G]
-            row_tot = _dotg(ones_row, hit_t, ((1,), (0,)))      # [1, G]
-            n = jnp.sum(row_tot)
-            # Row offsets: exclusive prefix over the G groups.
-            ro = _dotg(row_tot, gtri, ((1,), (0,)))             # [1, G]
-            colex = _dotg(ltri, hit_t, ((1,), (0,)))            # [128, G]
-            rank_t = colex + ro                                 # [128, G]
-            nb = jax.lax.convert_element_type(
-                jnp.ceil(n * (1.0 / cap)), jnp.int32)
-            iota_cap = jax.lax.broadcasted_iota(
-                jnp.int32, (128, cap), 1).astype(jnp.float32)
-
-            def onehot(g, basef):
-                return ((rank_t[:, g:g + 1] - basef == iota_cap)
-                        & (hit_t[:, g:g + 1] > 0.5)).astype(jnp.float32)
-
-            def block_body(b, _):
-                basef = jax.lax.convert_element_type(
-                    b, jnp.float32) * cap
-                acc = jnp.zeros((7, cap), jnp.float32)
-                for g in range(g_n):
-                    lo_, hi_ = g * 128, (g + 1) * 128
-                    feats = jnp.concatenate([
-                        lox[lo_:hi_][None, :], loy[lo_:hi_][None, :],
-                        loz[lo_:hi_][None, :], ldx[lo_:hi_][None, :],
-                        ldy[lo_:hi_][None, :], ldz[lo_:hi_][None, :],
-                        best_t[g, :][None, :]], axis=0)         # [7, 128]
-                    acc = acc + _dotg(feats, onehot(g, basef),
-                                      ((1,), (0,)))             # [7, cap]
-
-                t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
-                                acc[5], tris_ref[c], eps)       # [cap, S]
-                btc = acc[6]
-                ok = (t > eps) & (t < btc[:, None])
-                t = jnp.where(ok, t, BIG)
-                tmin = jnp.min(t, axis=1)
-                is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
-                slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
-                upd = tmin < btc
-                res = jnp.concatenate([
-                    jnp.where(upd, tmin, 0.0)[None, :],
-                    jnp.where(upd, slot.astype(jnp.float32), 0.0)[None, :],
-                    upd.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
-                for g in range(g_n):
-                    outg = _dotg(res, onehot(g, basef),
-                                 ((1,), (1,)))                  # [3, 128]
-                    du = outg[2] > 0.5
-                    best_t[g, :] = jnp.where(du, outg[0], best_t[g, :])
-                    best_tri[g, :] = jnp.where(
-                        du, tri_base + outg[1].astype(jnp.int32),
-                        best_tri[g, :])
-                    best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
-                return 0
-
-            jax.lax.fori_loop(0, nb, block_body, 0)
+            _compact_cluster_update(
+                hit, lox, loy, loz, ldx, ldy, ldz, tris_ref[c], tri_base,
+                obj, best_t, best_tri, best_obj, consts, slot_ids,
+                g_n=g_n, cap=cap, lanes=lanes, eps=eps)
 
         return 0
 
@@ -194,6 +212,88 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
     tri_out[0] = best_tri[:]
     obj_out[0] = best_obj[:]
+
+
+def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
+                           aabb_ref, tris_ref, t_out, tri_out, obj_out,
+                           lray, best_t, best_tri, best_obj, *,
+                           num_objects: int, chunk: int, num_chunks: int,
+                           num_real: int, eps: float, tile: int,
+                           lanes: int, cap: int, has_tmax: bool):
+    """HBM-streamed variant: grid (ray tiles, cluster chunks), cluster
+    blocks double-buffered from HBM (see cluster_intersect.py::
+    _stream_kernel for the streaming structure) with the compacted MT
+    update per fired cluster."""
+    j = pl.program_id(1)
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    g_n = tile // 128
+
+    @pl.when(j == 0)
+    def _():
+        def obj_body(o, _):
+            m = [inv_ref[o, k] for k in range(12)]
+            lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
+            lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
+            lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
+            return 0
+
+        jax.lax.fori_loop(0, num_objects, obj_body, 0)
+        best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
+                     if has_tmax else jnp.full((g_n, 128), BIG))
+        best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
+        best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+    consts = _prefix_consts(g_n)
+
+    camin = (chunk_aabb_ref[0, j], chunk_aabb_ref[1, j],
+             chunk_aabb_ref[2, j])
+    camax = (chunk_aabb_ref[3, j], chunk_aabb_ref[4, j],
+             chunk_aabb_ref[5, j])
+    bt_flat = best_t[:].reshape(tile)
+    chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
+
+    @pl.when(jnp.any(chunk_hit))
+    def _():
+        def cl_body(k, _):
+            c = j * chunk + k
+            obj = meta_ref[0, c]
+            tri_base = meta_ref[1, c]
+            lox = lray[obj, 0, :]
+            loy = lray[obj, 1, :]
+            loz = lray[obj, 2, :]
+            ldx = lray[obj, 3, :]
+            ldy = lray[obj, 4, :]
+            ldz = lray[obj, 5, :]
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+            bt = best_t[:].reshape(tile)
+            hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
+
+            @pl.when(jnp.any(hit) & (c < num_real))
+            def _():
+                _compact_cluster_update(
+                    hit, lox, loy, loz, ldx, ldy, ldz, tris_ref[k],
+                    tri_base, obj, best_t, best_tri, best_obj, consts,
+                    slot_ids, g_n=g_n, cap=cap, lanes=lanes, eps=eps)
+
+            return 0
+
+        jax.lax.fori_loop(0, chunk, cl_body, 0)
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
+        tri_out[0] = best_tri[:]
+        obj_out[0] = best_obj[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",

@@ -187,7 +187,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
 
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
-                           backend: str = "pallas", t_max=None):
+                           backend: str = "pallas", t_max=None,
+                           cap: int = 0):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -208,7 +209,8 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
     t, tri, obj = cluster_intersect_stream(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
-        interpret=(backend == "interpret"), has_tmax=t_max is not None)
+        interpret=(backend == "interpret"), has_tmax=t_max is not None,
+        cap=cap)
     return t[:r], obj[:r], tri[:r]
 
 

@@ -121,9 +121,10 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode in ("stream", "stream_interpret"):
         from logipathtracer_tpu.ops.traverse import intersect_scene_stream
         backend = "interpret" if mode == "stream_interpret" else "pallas"
+        cap = cfg.compact_cap if cfg.stream_compact else 0
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
-            backend=backend, t_max=t_max)
+            backend=backend, t_max=t_max, cap=cap)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 

@@ -26,7 +26,8 @@ from logipathtracer_tpu.render.megakernel import (pick_intersect,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--shade", default="jnp")
+    ap.add_argument("--amortize", type=int, default=8)
+    ap.add_argument("--shade", default="auto")
     ap.add_argument("--res", type=int, default=1024)
     args = ap.parse_args()
 
@@ -150,52 +151,61 @@ def main():
     floor_ms = (time.perf_counter() - t0) / 10 * 1e3
     print(f"sync floor: {floor_ms:.1f} ms")
 
+    # Amortized timing: the axon relay's dispatch+sync round-trip
+    # (~160 ms) dwarfs most stages, so each stage is measured by
+    # dispatching it K times back-to-back on fixed inputs with ONE sync
+    # (the queue pipelines; device time dominates).
+    K = args.amortize
+
+    def timed(fn, *inputs):
+        out = fn(*inputs)  # ensure compiled/warm
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            out = fn(*inputs)
+        sync(out)
+        return (time.perf_counter() - t0 - floor_ms * 1e-3) / K, out
+
     stages = {k: [] for k in ("regen", "sort", "isect", "shade", "flush")}
     for it in range(args.iters):
-        t0 = time.perf_counter()
-        out = regen(origin, direction, mask, acc, seed, alive, pending,
-                    prev_pdf, bounce, pixid, next_work)
-        sync(out)
+        dt, out = timed(regen, origin, direction, mask, acc, seed, alive,
+                        pending, prev_pdf, bounce, pixid, next_work)
         (origin, direction, mask, acc, seed, bounce, pixid, alive,
          pending, prev_pdf, next_work) = out
-        stages["regen"].append(time.perf_counter() - t0)
+        stages["regen"].append(dt)
 
-        t0 = time.perf_counter()
-        out = sort_pool(origin, direction, mask, acc, seed, alive,
-                        pending, prev_pdf, bounce, pixid)
-        sync(out)
+        dt, out = timed(sort_pool, origin, direction, mask, acc, seed,
+                        alive, pending, prev_pdf, bounce, pixid)
         (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
          bounce, pixid) = out
-        stages["sort"].append(time.perf_counter() - t0)
+        stages["sort"].append(dt)
 
-        t0 = time.perf_counter()
-        t, obj, tri = intersect(origin, direction)
-        sync(t)
-        stages["isect"].append(time.perf_counter() - t0)
+        dt, (t, obj, tri) = timed(intersect, origin, direction)
+        stages["isect"].append(dt)
 
-        t0 = time.perf_counter()
         shaded_alive = alive
-        out = shade(origin, direction, acc, mask, alive, seed, bounce,
-                    t, obj, tri, prev_pdf)
-        sync(out)
+        dt, out = timed(shade, origin, direction, acc, mask, alive, seed,
+                        bounce, t, obj, tri, prev_pdf)
         origin, direction, acc, mask, alive, seed, prev_pdf = out
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
-        stages["shade"].append(time.perf_counter() - t0)
+        stages["shade"].append(dt)
 
-        t0 = time.perf_counter()
-        accum, pending, alive = flush(accum, pixid, pending, alive, acc,
-                                      bounce)
-        sync(accum)
-        stages["flush"].append(time.perf_counter() - t0)
+        dt, out = timed(flush, accum, pixid, pending, alive, acc, bounce)
+        accum, pending, alive = out
+        stages["flush"].append(dt)
 
         n_alive = int(np.asarray(jnp.sum(alive)))
         print(f"it {it}: alive {n_alive}  " + "  ".join(
             f"{k} {v[-1]*1e3:6.1f}" for k, v in stages.items()),
             flush=True)
 
-    print(f"\nmean of iters 3+ (ms, minus {floor_ms:.1f} ms sync floor):")
+    print(f"\nmean of iters 2+ (ms/iteration, pool {p}):")
+    tot = 0.0
     for k, v in stages.items():
-        print(f"  {k:6s} {np.mean(v[3:])*1e3 - floor_ms:7.1f}")
+        m = np.mean(v[2:]) * 1e3
+        tot += m
+        print(f"  {k:6s} {m:7.1f}")
+    print(f"  total  {tot:7.1f}  -> {p / tot / 1e3:.2f} Mrays/s-iter")
 
 
 if __name__ == "__main__":

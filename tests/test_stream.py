@@ -46,6 +46,22 @@ def test_stream_matches_bvh(cornell_scene):
     assert (tie | ~diff).all()
 
 
+def test_stream_compact_matches_bvh(cornell_scene):
+    """The ray-compaction MT update (cap > 0) inside the streamed
+    kernel — the production path for beyond-VMEM scenes."""
+    s = cornell_scene
+    o, d = _primary_rays(s, 16, 16)
+    tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
+    ts, os_, rs = intersect_scene_stream(s, o, d, tile=128, chunk=4,
+                                         backend="interpret", cap=128)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ts), rtol=2e-6)
+    tie = (np.abs(np.asarray(tb) - np.asarray(ts))
+           <= 2e-6 * np.abs(np.asarray(tb)))
+    diff = ((np.asarray(rb) != np.asarray(rs))
+            | (np.asarray(ob) != np.asarray(os_)))
+    assert (tie | ~diff).all()
+
+
 def test_stream_random_rays(cornell_scene, rng):
     """Bounce-like incoherent rays, including rays that miss."""
     s = cornell_scene
