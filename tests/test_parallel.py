@@ -50,6 +50,23 @@ def test_mesh_matches_single_device(cornell_scene, shape):
     np.testing.assert_allclose(mean, want, rtol=1e-5, atol=1e-7)
 
 
+def test_mesh_placement_independent(cornell_scene):
+    """Multi-host readiness: radiance must not depend on device ORDER in
+    the mesh (on a real DCN deployment the samples axis spans hosts, so
+    the device array interleaves processes — a permuted single-host
+    mesh exercises the same placement freedom)."""
+    cfg = RenderConfig(width=16, height=16, max_depth=3)
+    devs = list(jax.devices())
+    fwd = make_mesh(devs, samples=4, tiles=2)
+    perm = devs[::-1]
+    rev = make_mesh(perm, samples=4, tiles=2)
+    a = MeshRenderer(cornell_scene, cfg, fwd, host_seed=7)
+    b = MeshRenderer(cornell_scene, cfg, rev, host_seed=7)
+    a.step()
+    b.step()
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+
+
 def test_mesh_progressive_accumulation(cornell_scene):
     cfg = RenderConfig(width=16, height=16, max_depth=3)
     mesh = make_mesh(jax.devices(), samples=4, tiles=2)
