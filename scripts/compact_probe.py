@@ -176,6 +176,9 @@ def cmd_bench(args):
     for label, (oo, dd) in workloads:
         rays8 = _pack(oo, dd, args.tile)
         print(label, flush=True)
+        if args.skip_sweep:
+            rc = run("compact", comp, rays8)
+            continue
         rb = run("sweep", base, rays8)
         rc = run("compact", comp, rays8)
         for nm, a, b in zip(("t", "tri", "obj"), rb, rc):
@@ -198,6 +201,9 @@ if __name__ == "__main__":
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--workload", default="both",
                     choices=["both", "primary", "scrambled"])
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="time the compact kernel only (the sub-tile "
+                         "sweep's cluster=128 compile is pathological)")
     args = ap.parse_args()
     if args.mode == "exact":
         cmd_exact()

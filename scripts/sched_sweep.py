@@ -34,7 +34,11 @@ def main():
 
     gltf = load_gltf(args.scene)
     results = []
-    for sort_every, lazy in itertools.product((1, 2), (0, 4, 8)):
+    # lazy_regen measured neutral (round 2); sort_every is worth
+    # re-testing per intersect backend — the compaction kernel is much
+    # less sort-sensitive than the sub-tile sweep (unsorted costs ~2x,
+    # not ~10x), so staler orders may now pay off.
+    for sort_every, lazy in itertools.product((1, 2, 3), (0,)):
         cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                            sort_every=sort_every, lazy_regen=lazy)
         scene = compile_scene(gltf, cfg)

@@ -143,8 +143,10 @@ def main():
         leaf = jax.tree_util.tree_leaves(x)[0]
         float(jnp.sum(leaf.reshape(-1)[0:1].astype(jnp.float32)))
 
-    # measure the sync round-trip floor
+    # measure the sync round-trip floor (warm first: even the trivial
+    # sum graph pays a ~60 s remote AOT compile on its first call)
     z = jnp.zeros((4,))
+    sync(z)
     t0 = time.perf_counter()
     for _ in range(10):
         sync(z)
