@@ -128,6 +128,17 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
+def intersect_tile(cfg: RenderConfig, scene=None) -> int:
+    """Rays per kernel tile of the RESOLVED intersect mode — what pixel
+    blocking and sort-tile coherence should be sized to."""
+    mode = resolve_intersect_mode(cfg, scene)
+    if mode in ("compact", "compact_interpret"):
+        return cfg.compact_tile
+    if mode in ("stream", "stream_interpret"):
+        return cfg.stream_tile
+    return cfg.sweep_tile
+
+
 def ray_sort_key(scene, origin, direction):
     """Spatial sort key: direction octant (major) + 5-bit-per-axis
     Morton code of the origin within the scene bounds.
@@ -540,15 +551,15 @@ def trace_rays(scene, cfg: RenderConfig, origin, direction, seed,
     return acc, seed, rays_traced
 
 
-def _block_shape(cfg: RenderConfig, rows: int, w: int):
-    """Pixel-block shape so one sweep tile = one compact 2-D block.
+def _block_shape(cfg: RenderConfig, rows: int, w: int, scene=None):
+    """Pixel-block shape so one intersect tile = one compact 2-D block.
 
     Compact blocks make the rays in a tile spatially coherent, which is
-    what the cluster sweep's tile-level culling feeds on (a 32x16 block
-    touches ~3x fewer clusters than a 512-wide scanline strip).
+    what the cluster kernels' tile-level culling feeds on (a 32x16
+    block touches ~3x fewer clusters than a 512-wide scanline strip).
     """
     bw = 32
-    bh = cfg.sweep_tile // bw
+    bh = intersect_tile(cfg, scene) // bw
     if rows % bh == 0 and w % bw == 0 and bh > 0:
         return bh, bw
     return None
@@ -574,7 +585,7 @@ def render_rows(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seed,
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     ys = ys + y0.astype(jnp.float32)
 
-    blk = _block_shape(cfg, rows, w)
+    blk = _block_shape(cfg, rows, w, scene)
     if blk is not None:
         bh, bw = blk
         def to_blocks(a):

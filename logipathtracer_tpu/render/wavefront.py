@@ -64,9 +64,11 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     s = ubo_seeds.shape[0]
     total = s * npix
     p = min(pool, total)
-    # Block-major pixel mapping (pure arithmetic, no index tables).
+    # Block-major pixel mapping (pure arithmetic, no index tables),
+    # sized so one RESOLVED intersect tile = one compact pixel block.
+    from logipathtracer_tpu.render.megakernel import intersect_tile
     bw = 32
-    bh = max(cfg.sweep_tile // bw, 1)
+    bh = max(intersect_tile(cfg, scene) // bw, 1)
     blocked = (h % bh == 0) and (w % bw == 0)
 
     def pix_coords(pixi):

@@ -50,7 +50,8 @@ def main():
     cam_world = jnp.asarray(cam.world_matrix)
     fov = jnp.float32(cam.yfov)
 
-    bw, bh = 32, max(cfg.sweep_tile // 32, 1)
+    from logipathtracer_tpu.render.megakernel import intersect_tile
+    bw, bh = 32, max(intersect_tile(cfg, scene) // 32, 1)
 
     def pix_coords(pixi):
         per_block = bh * bw
