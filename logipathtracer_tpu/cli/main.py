@@ -43,6 +43,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation with MIS (beyond the "
                         "reference; breaks reference RNG parity)")
+    p.add_argument("--mips", type=int, default=1, metavar="N",
+                   help="mip levels for texture sampling (1 = LOD 0 "
+                        "only, the reference behavior)")
     p.add_argument("--seed", type=int, default=0, help="host RNG seed")
     p.add_argument("--camera", type=int, default=0, help="camera index")
     p.add_argument("--leaf-size", type=int, default=4)
@@ -70,6 +73,7 @@ def _build(args):
                        max_depth=args.max_depth,
                        use_microfacet=not args.basic,
                        nee=args.nee,
+                       mip_levels=args.mips,
                        bvh_leaf_size=args.leaf_size)
     log.info("loading %s", args.scene)
     gltf = load_gltf(args.scene)

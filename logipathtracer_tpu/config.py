@@ -51,6 +51,14 @@ class RenderConfig:
                                   # (BSDF-found emission suppressed on
                                   # light-sampled diffuse chains)
 
+    # Mipmapped texture sampling (BEYOND the reference — it samples
+    # implicit LOD 0 from compute, shaders/path_tracing.comp:244-261).
+    # mip_levels > 1 builds a 2x2 box mip chain at scene compile and
+    # selects trilinear LODs with a ray-cone footprint approximation
+    # (constant per-segment spread; see render/megakernel.py tap()).
+    mip_levels: int = 1           # 1 = LOD 0 only (reference parity)
+    mip_spread: float = 0.001     # cone spread (radians-ish per unit t)
+
     # BVH build knobs (ours; the reference delegates to lsg's SBVH).
     bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf
     bvh_bins: int = 16            # SAH bins

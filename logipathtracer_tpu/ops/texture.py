@@ -30,17 +30,8 @@ def _wrap(coord, size, mode):
                      jnp.where(mode == WRAP_MIRROR, mirror, repeat))
 
 
-def sample_atlas(atlas, table, tex_id, uv):
-    """Bilinear texture fetch.
-
-    atlas:  [AH, AW, 4] f32.
-    table:  [NT, 6] i32 (x, y, w, h, wrap_s, wrap_t).
-    tex_id: [...] int32 (callers mask out id < 0 themselves).
-    uv:     [..., 2] f32.
-    Returns [..., 4] f32.
-    """
-    safe_id = jnp.maximum(tex_id, 0)
-    entry = jnp.take(table, safe_id, axis=0)  # [..., 6]
+def _bilinear(atlas, entry, uv):
+    """Bilinear fetch of one atlas entry [..., 6] at uv [..., 2]."""
     x0, y0 = entry[..., 0], entry[..., 1]
     w, h = entry[..., 2], entry[..., 3]
     ws, wt = entry[..., 4], entry[..., 5]
@@ -70,3 +61,38 @@ def sample_atlas(atlas, table, tex_id, uv):
     top = c00 * (1 - ax) + c10 * ax
     bot = c01 * (1 - ax) + c11 * ax
     return top * (1 - ay) + bot * ay
+
+
+def sample_atlas(atlas, table, tex_id, uv):
+    """Bilinear LOD-0 texture fetch (reference behavior — it samples at
+    implicit LOD 0 from compute, path_tracing.comp:244-261).
+
+    atlas:  [AH, AW, 4] f32.
+    table:  [NE, 6] i32 (x, y, w, h, wrap_s, wrap_t).
+    tex_id: [...] int32 table-entry index (callers mask out id < 0
+            themselves; with mips, pass the texture's mip_base).
+    uv:     [..., 2] f32.
+    Returns [..., 4] f32.
+    """
+    safe_id = jnp.maximum(tex_id, 0)
+    entry = jnp.take(table, safe_id, axis=0)  # [..., 6]
+    return _bilinear(atlas, entry, uv)
+
+
+def sample_atlas_lod(atlas, table, mip_base, mip_count, tex_id, uv, lod):
+    """Trilinear fetch (beyond the reference; cfg.mip_levels > 1).
+
+    mip_base/mip_count: [NT] i32 per-texture chain location in table.
+    lod: [...] f32 mip level (0 = full res); clamped per texture.
+    """
+    safe_id = jnp.maximum(tex_id, 0)
+    base = jnp.take(mip_base, safe_id, axis=0)
+    cnt = jnp.take(mip_count, safe_id, axis=0)
+    l = jnp.clip(lod, 0.0, (cnt - 1).astype(jnp.float32))
+    l0 = jnp.floor(l)
+    frac = (l - l0)[..., None]
+    l0 = l0.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, cnt - 1)
+    c0 = _bilinear(atlas, jnp.take(table, base + l0, axis=0), uv)
+    c1 = _bilinear(atlas, jnp.take(table, base + l1, axis=0), uv)
+    return c0 * (1.0 - frac) + c1 * frac

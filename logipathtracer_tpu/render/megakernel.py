@@ -319,9 +319,32 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     # scenes (cornell/outside).
     if scene.has_textures:
         tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+        if cfg.mip_levels > 1:
+            # Ray-cone mip LOD (beyond the reference, which samples
+            # implicit LOD 0): footprint ~ cfg.mip_spread * t world
+            # units, converted to texels via the per-triangle texel
+            # density (tri_shade row 24, object units) divided by the
+            # object's uniform-scale estimate (|world3 col 0|).
+            from logipathtracer_tpu.ops.texture import sample_atlas_lod
+            scale = jnp.sqrt(jnp.maximum(
+                jnp.sum(world3[:, :, 0] ** 2, axis=-1), 1e-20))
+            density_w = tshade[:, 24] / scale
+
         def tap(slot):
             tid = tex[:, slot]
-            s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
+            if cfg.mip_levels > 1:
+                base = jnp.take(scene.tex_mip_base,
+                                jnp.maximum(tid, 0), axis=0)
+                e0 = jnp.take(scene.tex_table, base, axis=0)
+                dim = jnp.maximum(e0[:, 2], e0[:, 3]).astype(jnp.float32)
+                footprint = cfg.mip_spread * t * density_w * dim
+                lod = jnp.log2(jnp.maximum(footprint, 1.0))
+                s = sample_atlas_lod(
+                    scene.tex_atlas, scene.tex_table, scene.tex_mip_base,
+                    scene.tex_mip_count, tid, uv, lod)
+            else:
+                s = sample_atlas(scene.tex_atlas, scene.tex_table, tid,
+                                 uv)
             return (tid >= 0), s
         has_c, c = tap(0)
         base_color = jnp.where(has_c[:, None], base_color * c, base_color)

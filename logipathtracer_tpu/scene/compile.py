@@ -159,7 +159,8 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         obvh, mesh_bvhs_perm, obj_bvh_offset, obj_vtx_offset,
         mesh_bvh_min, mesh_bvh_max, mesh_bvh_meta)
 
-    tex_atlas, tex_table = _pack_textures(gltf)
+    tex_atlas, tex_table, tex_mip_base, tex_mip_count = _pack_textures(
+        gltf, cfg.mip_levels)
 
     # Emissive-triangle table (NEE light sampling — beyond reference).
     light_rows = []
@@ -243,6 +244,18 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     tri_shade[:, 0:9] = vtx_nrm.reshape(t_count, 9)
     tri_shade[:, 9:15] = vtx_uv.reshape(t_count, 6)
     tri_shade[:, 15:24] = vtx_pos.reshape(t_count, 9)
+    # Row 24: per-triangle texel density sqrt(uv_area / pos_area) in UV
+    # units per object-space unit — the ray-cone mip LOD input
+    # (cfg.mip_levels > 1; ops/texture.py::sample_atlas_lod).
+    p = vtx_pos.reshape(t_count, 3, 3)
+    uvt = vtx_uv.reshape(t_count, 3, 2)
+    pos_area = 0.5 * np.linalg.norm(
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=-1)
+    e1uv = uvt[:, 1] - uvt[:, 0]
+    e2uv = uvt[:, 2] - uvt[:, 0]
+    uv_area = 0.5 * np.abs(e1uv[:, 0] * e2uv[:, 1]
+                           - e1uv[:, 1] * e2uv[:, 0])
+    tri_shade[:, 24] = np.sqrt(uv_area / np.maximum(pos_area, 1e-20))
     obj_shade = np.zeros((num_objects, 32), np.float32)
     obj_shade[:, 0:9] = obj_world[:, :3, :3].reshape(num_objects, 9)
     obj_shade[:, 9:21] = obj_world_inv[:, :3, :4].reshape(num_objects, 12)
@@ -277,6 +290,8 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         fused_meta=fused_meta,
         tex_atlas=tex_atlas,
         tex_table=tex_table,
+        tex_mip_base=tex_mip_base,
+        tex_mip_count=tex_mip_count,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
@@ -425,27 +440,52 @@ def _exact_stack_need(fused_meta: np.ndarray) -> int:
     return peak
 
 
-def _pack_textures(gltf: Gltf):
+def _pack_textures(gltf: Gltf, mip_levels: int = 1):
     """Shelf-pack all textures into one RGBA f32 atlas.
 
     The reference binds up to 512 separate sampled images
     (path_tracing.comp:105); TPU has no samplers, so sampling is a
     gather from this atlas (ops/texture.py).
+
+    mip_levels > 1 (cfg.mip_levels — beyond the reference, which
+    samples implicit LOD 0 from compute) appends a 2x2 box-filtered mip
+    chain per texture as additional atlas entries; returns per-texture
+    (mip_base, mip_count) index arrays into the expanded table.
     """
+    mip_levels = max(int(mip_levels), 1)
     if not gltf.textures:
         atlas = np.ones((1, 8, 4), np.float32)
         table = np.zeros((1, 6), np.int32)
         table[0] = (0, 0, 1, 1, 10497, 10497)
-        return atlas, table
+        return (atlas, table, np.zeros(1, np.int32), np.ones(1, np.int32))
+
+    # Per-texture mip chains (level 0 = the source image).
+    entries = []  # (pixels_f32, wrap_s, wrap_t)
+    mip_base = np.zeros(len(gltf.textures), np.int32)
+    mip_count = np.zeros(len(gltf.textures), np.int32)
+    for i, t in enumerate(gltf.textures):
+        mip_base[i] = len(entries)
+        img = t.pixels.astype(np.float32) / 255.0
+        levels = 0
+        while True:
+            entries.append((img, t.wrap_s, t.wrap_t))
+            levels += 1
+            h, w = img.shape[:2]
+            if levels >= mip_levels or (h < 2 and w < 2):
+                break
+            h2, w2 = max(h // 2, 1), max(w // 2, 1)
+            img = img[:h2 * 2, :w2 * 2].reshape(
+                h2, min(h, 2), w2, min(w, 2), 4).mean(axis=(1, 3))
+        mip_count[i] = levels
 
     # Simple shelf packing, row by row.
-    max_w = max(max(t.pixels.shape[1] for t in gltf.textures), 8)
+    max_w = max(max(e[0].shape[1] for e in entries), 8)
     shelf_x = 0
     shelf_y = 0
     shelf_h = 0
     coords = []
-    for t in gltf.textures:
-        h, w = t.pixels.shape[:2]
+    for img, _, _ in entries:
+        h, w = img.shape[:2]
         if shelf_x + w > max_w:
             shelf_y += shelf_h
             shelf_x = 0
@@ -455,9 +495,9 @@ def _pack_textures(gltf: Gltf):
         shelf_h = max(shelf_h, h)
     total_h = shelf_y + shelf_h
     atlas = np.zeros((total_h, max_w, 4), np.float32)
-    table = np.zeros((len(gltf.textures), 6), np.int32)
-    for i, (t, (x, y)) in enumerate(zip(gltf.textures, coords)):
-        h, w = t.pixels.shape[:2]
-        atlas[y:y + h, x:x + w] = t.pixels.astype(np.float32) / 255.0
-        table[i] = (x, y, w, h, t.wrap_s, t.wrap_t)
-    return atlas, table
+    table = np.zeros((len(entries), 6), np.int32)
+    for i, ((img, ws, wt), (x, y)) in enumerate(zip(entries, coords)):
+        h, w = img.shape[:2]
+        atlas[y:y + h, x:x + w] = img
+        table[i] = (x, y, w, h, ws, wt)
+    return atlas, table, mip_base, mip_count

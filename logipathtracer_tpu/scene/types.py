@@ -77,7 +77,10 @@ class SceneSoA:
     # Texture atlas (512-slot bindless array equivalent,
     # shaders/path_tracing.comp:105).
     tex_atlas: Any        # [AH, AW, 4] f32, linear [0,1] storage
-    tex_table: Any        # [NT, 6] i32: x, y, w, h, wrap_s, wrap_t
+    tex_table: Any        # [NE, 6] i32: x, y, w, h, wrap_s, wrap_t
+                          # (one entry per texture per mip level)
+    tex_mip_base: Any     # [NT] i32 first table entry of texture t
+    tex_mip_count: Any    # [NT] i32 mip levels of texture t (>= 1)
 
     # Clustered arrays for the gather-free sweep kernel
     # (scene/clusters.py; ops/pallas/cluster_intersect.py).
@@ -124,7 +127,7 @@ class SceneSoA:
         "mesh_bvh_min", "mesh_bvh_max", "mesh_bvh_meta",
         "vtx_pos", "vtx_nrm", "vtx_uv",
         "fused_min", "fused_max", "fused_meta",
-        "tex_atlas", "tex_table",
+        "tex_atlas", "tex_table", "tex_mip_base", "tex_mip_count",
         "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
         "light_tris", "light_cdf",

@@ -92,3 +92,79 @@ def test_textured_render():
     red = center[:, :, 0] > center[:, :, 2]
     blue = center[:, :, 2] > center[:, :, 0]
     assert red.any() and blue.any(), "checker tints missing"
+
+
+def test_mip_chain_packing():
+    """cfg.mip_levels builds a per-texture box-filtered chain; level k
+    of a checker averages to grey once the 2x2 period is folded."""
+    gltf = _textured_scene()
+    cfg = RenderConfig(mip_levels=4)
+    scene = compile_scene(gltf, cfg)
+    base = int(np.asarray(scene.tex_mip_base)[0])
+    cnt = int(np.asarray(scene.tex_mip_count)[0])
+    assert cnt == 4  # 8x8 -> 4x4 -> 2x2 -> 1x1
+    table = np.asarray(scene.tex_table)
+    atlas = np.asarray(scene.tex_atlas)
+    dims = [tuple(table[base + k, 2:4]) for k in range(cnt)]
+    assert dims == [(8, 8), (4, 4), (2, 2), (1, 1)]
+    # The 1-pixel checker alternates red/blue per texel: every level >= 1
+    # is the uniform average (0.5, 0, 0.5).
+    x, y, w, h = table[base + 1, 0:4]
+    lvl1 = atlas[y:y + h, x:x + w]
+    assert np.allclose(lvl1[..., 0], 0.5, atol=1e-6)
+    assert np.allclose(lvl1[..., 2], 0.5, atol=1e-6)
+
+
+def test_sample_atlas_lod_levels():
+    """Trilinear sampling: lod 0 reproduces bilinear; whole lods pick
+    their level; fractional lods blend; lod clamps to the chain."""
+    from logipathtracer_tpu.ops.texture import sample_atlas_lod
+
+    gltf = _textured_scene()
+    scene = compile_scene(gltf, RenderConfig(mip_levels=4))
+    args = (jnp.asarray(scene.tex_atlas), jnp.asarray(scene.tex_table),
+            jnp.asarray(scene.tex_mip_base),
+            jnp.asarray(scene.tex_mip_count))
+    uv = jnp.array([[0.25 / 8 + 0.0625, 0.0625]])  # inside one texel
+    tid = jnp.array([0])
+    l0 = np.asarray(sample_atlas_lod(*args, tid, uv, jnp.array([0.0])))
+    b0 = np.asarray(sample_atlas(args[0], args[1], tid, uv))
+    np.testing.assert_allclose(l0, b0, atol=1e-6)
+    l1 = np.asarray(sample_atlas_lod(*args, tid, uv, jnp.array([1.0])))
+    np.testing.assert_allclose(l1[0, 0], 0.5, atol=1e-6)  # grey level
+    lh = np.asarray(sample_atlas_lod(*args, tid, uv, jnp.array([0.5])))
+    np.testing.assert_allclose(lh, 0.5 * (l0 + l1), atol=1e-6)
+    lbig = np.asarray(sample_atlas_lod(*args, tid, uv, jnp.array([99.0])))
+    l3 = np.asarray(sample_atlas_lod(*args, tid, uv, jnp.array([3.0])))
+    np.testing.assert_allclose(lbig, l3, atol=1e-6)
+
+
+def test_mip_render_reduces_minification_noise():
+    """A genuinely minified checker (64 texels across ~14 pixels, ~4.6
+    texels per pixel) renders smoother with mips: the checker's 2-texel
+    period folds to grey from level 1 up, so the red-vs-blue per-pixel
+    spread collapses, while LOD-0 point-ish sampling aliases."""
+    gltf = _textured_scene()
+    cam_far = CameraNode(name="cam",
+                         world_matrix=_look_at((0, 0, 14), (0, 0, 0)),
+                         yfov=0.25)
+    gltf = Gltf(mesh_nodes=gltf.mesh_nodes, cameras=[cam_far],
+                materials=gltf.materials,
+                textures=[TextureData(pixels=_checker(64), wrap_s=10497,
+                                      wrap_t=10497)],
+                name=gltf.name)
+    base = RenderConfig(width=24, height=24, max_depth=2, intersect="bvh",
+                        env_color=1.0)
+    out = {}
+    for ml in (1, 7):
+        # Physical cone spread: one pixel's angle = yfov / height.
+        cfg = base.replace(mip_levels=ml, mip_spread=0.25 / 24)
+        scene = compile_scene(gltf, cfg)
+        cam = scene.cameras[0]
+        out[ml] = np.asarray(render_sample(
+            scene, cfg, jnp.asarray(cam.world_matrix),
+            jnp.float32(cam.yfov), jnp.asarray([3, 5], jnp.uint32)))
+    mid = slice(9, 15)
+    spread = {k: np.abs(v[mid, mid, 0] - v[mid, mid, 2]).mean()
+              for k, v in out.items()}
+    assert spread[7] < 0.5 * spread[1], spread
