@@ -19,12 +19,14 @@ test passed into dense CAP-lane blocks using one-hot matmuls on the
     t'   = Möller-Trumbore(rays', cluster)          [CAP, S]  (VPU)
     out  = results @ P^T                            (scatter — MXU)
 
-One-hot f32 matmuls at precision=HIGHEST are bit-exact selections (the
-bf16x3 decomposition of any finite f32 below ~1e38 is exact, and a 0/1
-factor makes every partial product exact; verified on hardware in
-tests/test_compact.py), so results are bitwise identical to
-cluster_intersect_pallas: same front-to-back cluster order, same
-strict-< acceptance, same min-slot tie-break.
+One-hot f32 matmuls at precision=HIGHEST are near-bit-exact selections
+on v5e: measured exact for all but ~3e-5 of values, where the bf16x3
+decomposition rounds the reconstruction by 1 ulp (CLAUDE.md).  The
+sweep structure is otherwise identical to cluster_intersect_pallas
+(same front-to-back cluster order, strict-< acceptance, min-slot
+tie-break), so results match it everywhere except that rare-ulp tail,
+where a coplanar near-tie may resolve to the other triangle (observed
+32/1M rays on cornell; scripts/compact_probe.py).
 
 Semantics match ops/traverse.intersect_scene (closest hit, t > eps).
 Reference analog: the per-ray BVH traversal of

@@ -319,7 +319,9 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     # scenes (cornell/outside).
     if scene.has_textures:
         tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
-        if cfg.mip_levels > 1:
+        # Mip path keys on the SCENE's chain depth (what the atlas was
+        # built with); cfg.mip_levels only steers the scene compile.
+        if scene.mip_levels > 1:
             # Ray-cone mip LOD (beyond the reference, which samples
             # implicit LOD 0): footprint ~ cfg.mip_spread * t world
             # units, converted to texels via the per-triangle texel
@@ -332,7 +334,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
 
         def tap(slot):
             tid = tex[:, slot]
-            if cfg.mip_levels > 1:
+            if scene.mip_levels > 1:
                 base = jnp.take(scene.tex_mip_base,
                                 jnp.maximum(tid, 0), axis=0)
                 e0 = jnp.take(scene.tex_table, base, axis=0)
@@ -450,7 +452,15 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         bv = (r3 * su)[:, None]
         lp = lv0 + bu * le1 + bv * le2
         pos_hit = origin + t[:, None] * direction
-        ldir = lp - pos_hit
+        # Park non-NEE lanes before ANY of the shadow-query math: missed
+        # or dead lanes carry t = INF, so pos_hit is ~±3.4e38 (and wl
+        # becomes NaN) — finite-but-huge/NaN operands poison the
+        # compaction kernel's one-hot gathers (0 * NaN = NaN sums into
+        # every compacted column; compact_intersect.py BIG note).  The
+        # 1e30 park makes every slab test fail cleanly, same as the
+        # main-path dead-lane parking.
+        pos_hit = jnp.where(nee_mask[:, None], pos_hit, 1e30)
+        ldir = lp - jnp.where(nee_mask[:, None], pos_hit, 0.0)
         dist2 = jnp.maximum(jnp.sum(ldir * ldir, axis=-1), 1e-12)
         dist = jnp.sqrt(dist2)
         wl = ldir / dist[:, None]
@@ -464,7 +474,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                           jnp.sum(wl * v, axis=-1), cos_s], -1)
         # Shadow query with t_max: clusters behind the light are pruned
         # in the kernel (the sweep's any-hit analog).
-        t_lim = dist * (1.0 - 1e-3)
+        t_lim = jnp.where(nee_mask, dist * (1.0 - 1e-3), 1.0)
         t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps, t_max=t_lim)
         visible = t_s >= t_lim
         p_light = dist2 / (jnp.maximum(cos_l, 1e-9)

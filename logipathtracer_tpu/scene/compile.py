@@ -311,6 +311,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         leaf_width=int((fused_meta[fused_meta[:, 0] == 1][:, 2]
                         - fused_meta[fused_meta[:, 0] == 1][:, 1]).max()),
         has_textures=bool(gltf.textures),
+        mip_levels=max(int(cfg.mip_levels), 1),
         cameras=cameras,
         name=gltf.name,
     )

@@ -114,6 +114,10 @@ class SceneSoA:
     max_stack: int = 16
     leaf_width: int = 4   # max triangles per leaf (static unroll width)
     has_textures: bool = False
+    mip_levels: int = 1   # mip chain depth the atlas was BUILT with —
+                          # shading keys on this (not cfg), so a
+                          # scene/cfg mismatch cannot mis-index the
+                          # mip-expanded tex_table
     num_lights: int = 0
     total_light_area: float = 0.0
     cluster_size: int = 128
@@ -133,7 +137,8 @@ class SceneSoA:
         "light_tris", "light_cdf",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
-                      "leaf_width", "has_textures", "num_lights",
+                      "leaf_width", "has_textures", "mip_levels",
+                      "num_lights",
                       "total_light_area", "cluster_size",
                       "cameras", "name")
 

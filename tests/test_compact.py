@@ -53,6 +53,25 @@ def test_compact_tmax_shadow(cornell_scene, rng):
     np.testing.assert_array_equal(vis_full, vis_lim)
 
 
+def test_nee_render_with_compact_matches_bvh(cornell_scene):
+    """NEE shadow queries through the compaction backend: missed/dead
+    lanes carry t=INF, and their unparked ~3.4e38 shadow origins used
+    to NaN-poison the one-hot gather (0 * NaN sums into every compacted
+    column), silently leaking light.  The parked shadow query must
+    reproduce the BVH-walk image."""
+    cfg_b = RenderConfig(width=16, height=16, max_depth=3, intersect="bvh",
+                         nee=True)
+    cfg_c = cfg_b.replace(intersect="compact_interpret", compact_tile=256)
+    cam = cornell_scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray([48271, 16807], jnp.uint32))
+    a = np.asarray(render_sample(cornell_scene, cfg_b, *args))
+    b = np.asarray(render_sample(cornell_scene, cfg_c, *args))
+    assert np.isfinite(b).all()
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.99, f"{(~close).sum()} divergent pixels"
+
+
 def test_render_with_compact_matches_bvh(cornell_scene):
     cfg_b = RenderConfig(width=16, height=16, max_depth=4, intersect="bvh")
     cfg_c = cfg_b.replace(intersect="compact_interpret", compact_tile=256)
