@@ -91,6 +91,11 @@ class RenderConfig:
     compact_cap: int = 128        # compacted MT block width (rays per
                                   # Moller-Trumbore pass of one fired
                                   # cluster)
+    mt_mxu: bool = False          # compact sweep: run each block's
+                                  # Moller-Trumbore as ONE MXU matmul
+                                  # on the bilinear feature form
+                                  # (scene.cl_mt) instead of the
+                                  # elementwise VPU chain
     stream_tile: int = 2048       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data)

@@ -76,13 +76,55 @@ def _prefix_consts(g_n: int):
     return ident, ltri, gtri, ones_row
 
 
+def _mt_mxu(acc, trib_mt, centroid, eps, lanes):
+    """Möller-Trumbore of one compacted block via ONE MXU matmul.
+
+    acc: [7, cap] compacted local rays (+best_t row); trib_mt:
+    [16, 4S] bilinear feature matrix (clusters.py::build_mt_features);
+    centroid: (cx, cy, cz) scalars — ray origins are shifted into the
+    cluster-local frame the features were built in.  Returns t [cap, S]
+    with BIG on miss.  The matmul's bf16x3 HIGHEST passes carry ~1-ulp
+    noise vs the elementwise form (acceptable: same class as the
+    one-hot gather tail).
+    """
+    opx = acc[0] - centroid[0]
+    opy = acc[1] - centroid[1]
+    opz = acc[2] - centroid[2]
+    dx, dy, dz = acc[3], acc[4], acc[5]
+    mx = opy * dz - opz * dy
+    my = opz * dx - opx * dz
+    mz = opx * dy - opy * dx
+    one = jnp.ones_like(dx)
+    zero = jnp.zeros_like(dx)
+    frows = jnp.concatenate([
+        dx[None, :], dy[None, :], dz[None, :],
+        mx[None, :], my[None, :], mz[None, :],
+        opx[None, :], opy[None, :], opz[None, :], one[None, :],
+        zero[None, :], zero[None, :], zero[None, :],
+        zero[None, :], zero[None, :], zero[None, :]], axis=0)  # [16, cap]
+    prod = _dotg(frows, trib_mt, ((0,), (0,)))                 # [cap, 4S]
+    det = prod[:, 0 * lanes:1 * lanes]
+    un = prod[:, 1 * lanes:2 * lanes]
+    vn = prod[:, 2 * lanes:3 * lanes]
+    tn = prod[:, 3 * lanes:4 * lanes]
+    inv = 1.0 / det
+    u = un * inv
+    v = vn * inv
+    t = tn * inv
+    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+    return jnp.where(miss, BIG, t)
+
+
 def _compact_cluster_update(hit, lox, loy, loz, ldx, ldy, ldz, trib,
                             tri_base, obj, best_t, best_tri, best_obj,
                             consts, slot_ids, *, g_n: int, cap: int,
-                            lanes: int, eps: float):
+                            lanes: int, eps: float, mxu: bool = False,
+                            centroid=None):
     """Compact the slab-passing rays of ONE fired cluster into dense
-    CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them, and
-    scatter the improvements back into the best-hit scratch."""
+    CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
+    (elementwise VPU, or one MXU matmul when ``mxu`` — trib then holds
+    the [16, 4S] feature matrix), and scatter the improvements back
+    into the best-hit scratch."""
     ident, ltri, gtri, ones_row = consts
     h2 = hit.astype(jnp.float32).reshape(g_n, 128)      # [G, 128]
     # Transpose the hit mask so ranks live on sublanes (where the
@@ -118,8 +160,11 @@ def _compact_cluster_update(hit, lox, loy, loz, ldx, ldy, ldz, trib,
             acc = acc + _dotg(feats, onehot(g, basef),
                               ((1,), (0,)))             # [7, cap]
 
-        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
-                        acc[5], trib, eps)              # [cap, S]
+        if mxu:
+            t = _mt_mxu(acc, trib, centroid, eps, lanes)  # [cap, S]
+        else:
+            t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                            acc[5], trib, eps)            # [cap, S]
         btc = acc[6]
         ok = (t > eps) & (t < btc[:, None])
         t = jnp.where(ok, t, BIG)
@@ -149,7 +194,7 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
                     tris_ref, t_out, tri_out, obj_out, lray, best_t,
                     best_tri, best_obj, *, num_objects: int,
                     num_clusters: int, eps: float, tile: int, lanes: int,
-                    cap: int, has_tmax: bool):
+                    cap: int, has_tmax: bool, mxu: bool = False):
     g_n = tile // 128
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -202,10 +247,14 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
 
         @pl.when(jnp.any(hit))
         def _():
+            centroid = (0.5 * (amin[0] + amax[0]),
+                        0.5 * (amin[1] + amax[1]),
+                        0.5 * (amin[2] + amax[2])) if mxu else None
             _compact_cluster_update(
                 hit, lox, loy, loz, ldx, ldy, ldz, tris_ref[c], tri_base,
                 obj, best_t, best_tri, best_obj, consts, slot_ids,
-                g_n=g_n, cap=cap, lanes=lanes, eps=eps)
+                g_n=g_n, cap=cap, lanes=lanes, eps=eps, mxu=mxu,
+                centroid=centroid)
 
         return 0
 
@@ -299,17 +348,28 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
-                                             "interpret", "has_tmax"))
+                                             "interpret", "has_tmax",
+                                             "mxu"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
-                              has_tmax: bool = False):
+                              has_tmax: bool = False, mxu: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
-    identical to cluster_intersect_pallas (cluster_intersect.py)."""
+    identical to cluster_intersect_pallas (cluster_intersect.py).
+
+    mxu=True: cl_tris must be the [C, 16, 4S] bilinear MT feature
+    matrices (scene.cl_mt) and each fired cluster's triangle test runs
+    as one MXU matmul (_mt_mxu) instead of the elementwise VPU form.
+    """
     cl_meta = cl_meta.T      # [2, C]
     cl_aabb = cl_aabb.T      # [8, C]
     r = rays8.shape[1]
-    c, _, lanes = cl_tris.shape
+    c, rows, cols = cl_tris.shape
+    if mxu:
+        assert rows == 16, "mxu path needs scene.cl_mt [C, 16, 4S]"
+        lanes = cols // 4
+    else:
+        lanes = cols
     o = cl_inv.shape[0]
     assert tile % 128 == 0 and r % tile == 0 and cap % 128 == 0
     sub = tile // 128
@@ -317,7 +377,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     grid = (r // tile,)
     kernel = functools.partial(
         _compact_kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
-        lanes=lanes, cap=cap, has_tmax=has_tmax)
+        lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu)
 
     outs = pl.pallas_call(
         kernel,

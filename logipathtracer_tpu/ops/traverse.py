@@ -145,7 +145,7 @@ def _padded_inverses(scene):
 
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
-                          t_max=None, cap: int = 128):
+                          t_max=None, cap: int = 128, mxu: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -173,9 +173,10 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             cluster_intersect_compact
         t, tri, obj = cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
-            scene.cl_tris, rays8, tile=tile, cap=cap, eps=eps,
+            scene.cl_mt if mxu else scene.cl_tris, rays8, tile=tile,
+            cap=cap, eps=eps,
             interpret=(backend == "compact_interpret"),
-            has_tmax=t_max is not None)
+            has_tmax=t_max is not None, mxu=mxu)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

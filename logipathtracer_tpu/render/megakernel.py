@@ -81,7 +81,11 @@ def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
         c, _, lanes = scene.cl_tris.shape
         o = scene.num_objects
         tile = cfg.compact_tile if mode == "compact" else cfg.sweep_tile
-        vmem = (c * 16 * lanes * 4         # triangles
+        # Triangle data: 9 component rows padded to 16 sublanes — or the
+        # [16, 4S] bilinear feature matrices on the MXU MT path.
+        tri_rows = (4 * lanes if (mode == "compact" and cfg.mt_mxu)
+                    else lanes)
+        vmem = (c * 16 * tri_rows * 4      # triangles / MT features
                 + o * 6 * tile * 4         # local-ray scratch
                 + 8 * tile * 4             # ray block
                 + 6 * tile * 4)            # best t/tri/obj (+outputs)
@@ -114,7 +118,7 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode in ("compact", "compact_interpret"):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
-            t_max=t_max, cap=cfg.compact_cap)
+            t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max)

@@ -202,7 +202,8 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     # Clustered sweep arrays (built from a lightweight stand-in SoA view
     # so clusters.py can run before the SceneSoA exists).
-    from logipathtracer_tpu.scene.clusters import build_clusters
+    from logipathtracer_tpu.scene.clusters import (build_clusters,
+                                                   build_mt_features)
 
     class _View:
         pass
@@ -295,6 +296,14 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
+        # Bilinear MT feature matrices are 4x the triangle bytes; only
+        # materialize them when the (measured-slower, kept-as-option)
+        # MXU MT path could use them — small resident scenes or an
+        # explicit cfg.mt_mxu (big scenes stream, which has no MXU MT).
+        cl_mt=(build_mt_features(clustered.cl_tris, clustered.cl_aabb)
+               if (cfg.mt_mxu or vtx_pos.shape[0] <= 300_000)
+               else np.zeros((1, 16, 4 * clustered.cl_tris.shape[2]),
+                             np.float32)),
         cl_order=cl_order,
         tri_shade=tri_shade,
         obj_shade=obj_shade,

@@ -89,6 +89,9 @@ class SceneSoA:
     cl_order: Any         # [8, C] i32: front-to-back cluster order per
                           # direction octant (early-out pruning)
     cl_tris: Any          # [C, 9, S] f32: v0.xyz, e1.xyz, e2.xyz lanes
+    cl_mt: Any            # [C, 16, 4S] f32 bilinear MT feature matrices
+                          # (centroid-localized; clusters.py::
+                          # build_mt_features) for the MXU MT path
 
     # Packed shade tables: ONE wide-row gather per hit instead of many
     # narrow ones (TPU gathers cost per-row, almost independent of row
@@ -132,7 +135,7 @@ class SceneSoA:
         "vtx_pos", "vtx_nrm", "vtx_uv",
         "fused_min", "fused_max", "fused_meta",
         "tex_atlas", "tex_table", "tex_mip_base", "tex_mip_count",
-        "cl_meta", "cl_aabb", "cl_tris", "cl_order",
+        "cl_meta", "cl_aabb", "cl_tris", "cl_mt", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
         "light_tris", "light_cdf",
     )

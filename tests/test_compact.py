@@ -22,18 +22,22 @@ def _rays(scene, n, rng):
     return o, jnp.asarray(d)
 
 
-@pytest.mark.parametrize("cap", [128, 256])
-def test_compact_matches_bvh(cornell_scene, rng, cap):
+@pytest.mark.parametrize("cap,mxu", [(128, False), (256, False),
+                                     (128, True)])
+def test_compact_matches_bvh(cornell_scene, rng, cap, mxu):
     s = cornell_scene
     o, d = _rays(s, 512, rng)
     tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
     tc, oc, rc = intersect_scene_sweep(s, o, d, backend="compact_interpret",
-                                       tile=256, cap=cap)
-    np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=2e-6,
-                               atol=1e-6)
+                                       tile=256, cap=cap, mxu=mxu)
+    # The bilinear MXU form reassociates the MT arithmetic (centroid-
+    # localized): slightly looser tolerance than the elementwise form.
+    rtol = 1e-5 if mxu else 2e-6
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=rtol,
+                               atol=1e-5 if mxu else 1e-6)
     # tri/obj may differ only where t is a near-tie (coplanar geometry).
     tie = np.abs(np.asarray(tb) - np.asarray(tc)) \
-        <= 2e-6 * np.abs(np.asarray(tb))
+        <= rtol * np.abs(np.asarray(tb)) + 1e-6
     diff = (np.asarray(rb) != np.asarray(rc)) \
         | (np.asarray(ob) != np.asarray(oc))
     assert (tie | ~diff).all()
