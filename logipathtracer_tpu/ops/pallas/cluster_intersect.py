@@ -65,10 +65,19 @@ def _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps):
 
 
 def _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, best_t):
-    """Slab test of one cluster AABB (scalars) against a ray tile [T]."""
-    inv_x = 1.0 / ldx
-    inv_y = 1.0 / ldy
-    inv_z = 1.0 / ldz
+    """Slab test of one cluster AABB (scalars) against a ray tile [T].
+
+    Callers with precomputed reciprocal directions use _slab_inv; the
+    results are bit-identical (this computes the same 1/ld then
+    multiplies)."""
+    return _slab_inv(lox, loy, loz, 1.0 / ldx, 1.0 / ldy, 1.0 / ldz,
+                     amin, amax, best_t)
+
+
+def _slab_inv(lox, loy, loz, inv_x, inv_y, inv_z, amin, amax, best_t):
+    """Slab test with precomputed reciprocal directions (hoisted out of
+    the per-cluster loop: 3 VPU reciprocals per cluster -> per object
+    per tile)."""
     nx = (amin[0] - lox) * inv_x
     fx = (amax[0] - lox) * inv_x
     ny = (amin[1] - loy) * inv_y
@@ -83,6 +92,30 @@ def _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, best_t):
     # expressed with and/or only (Mosaic-friendly, no bool selects).
     return ((t0 <= t1)
             & (((t0 > 0.0) & (t0 < best_t)) | ((t0 <= 0.0) & (t1 > 0.0))))
+
+
+def _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
+                     num_objects: int):
+    """Per-object local rays + reciprocal directions into the
+    [O, 9, T] scratch (rows: o.xyz, d.xyz, 1/d.xyz)."""
+
+    def obj_body(o, _):
+        m = [inv_ref[o, k] for k in range(12)]
+        lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        ldx = m[0] * dx + m[1] * dy + m[2] * dz
+        ldy = m[4] * dx + m[5] * dy + m[6] * dz
+        ldz = m[8] * dx + m[9] * dy + m[10] * dz
+        lray[o, 3, :] = ldx
+        lray[o, 4, :] = ldy
+        lray[o, 5, :] = ldz
+        lray[o, 6, :] = 1.0 / ldx
+        lray[o, 7, :] = 1.0 / ldy
+        lray[o, 8, :] = 1.0 / ldz
+        return 0
+
+    jax.lax.fori_loop(0, num_objects, obj_body, 0)
 
 
 def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
@@ -134,17 +167,7 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
     dy = rays_ref[4, :]
     dz = rays_ref[5, :]
 
-    def obj_body(o, _):
-        m = [inv_ref[o, k] for k in range(12)]
-        lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-        lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-        lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-        lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
-        lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
-        lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
-        return 0
-
-    jax.lax.fori_loop(0, num_objects, obj_body, 0)
+    _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz, num_objects)
 
     sub_n = tile // 128
     # Any-hit-style queries (NEE shadow rays) pass a per-ray t_max in
@@ -177,7 +200,8 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
         amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
         amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
         bt = best_t[:].reshape(tile)
-        hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
+        hit = _slab_inv(lox, loy, loz, lray[obj, 6, :], lray[obj, 7, :],
+                        lray[obj, 8, :], amin, amax, bt)
 
         @pl.when(jnp.any(hit))
         def _():
@@ -257,7 +281,7 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
             jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((o, 6, tile), jnp.float32),   # local rays
+            pltpu.VMEM((o, 9, tile), jnp.float32),   # local rays + 1/d
             pltpu.VMEM((tile // 128, 128), jnp.float32),  # best_t
             pltpu.VMEM((tile // 128, 128), jnp.int32),    # best_tri
             pltpu.VMEM((tile // 128, 128), jnp.int32),    # best_obj
@@ -298,17 +322,8 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
 
     @pl.when(j == 0)
     def _():
-        def obj_body(o, _):
-            m = [inv_ref[o, k] for k in range(12)]
-            lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
-            lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
-            lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
-            return 0
-
-        jax.lax.fori_loop(0, num_objects, obj_body, 0)
+        _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
+                         num_objects)
         best_t[:] = (rays_ref[6, :].reshape(sub_n, 128) if has_tmax
                      else jnp.full((sub_n, 128), INF))
         best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
@@ -341,7 +356,9 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
             amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
             amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
             bt = best_t[:].reshape(tile)
-            hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
+            hit = _slab_inv(lox, loy, loz, lray[obj, 6, :],
+                            lray[obj, 7, :], lray[obj, 8, :],
+                            amin, amax, bt)
 
             @pl.when(jnp.any(hit) & (c < num_real))
             def _():
@@ -461,7 +478,7 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
             jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((o, 6, tile), jnp.float32),        # local rays
+            pltpu.VMEM((o, 9, tile), jnp.float32),        # local rays + 1/d
             pltpu.VMEM((sub, 128), jnp.float32),          # best_t
             pltpu.VMEM((sub, 128), jnp.int32),            # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),            # best_obj

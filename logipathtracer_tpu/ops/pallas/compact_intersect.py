@@ -44,8 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from logipathtracer_tpu.ops.pallas.cluster_intersect import (INF, _mt_cluster,
-                                                             _slab)
+from logipathtracer_tpu.ops.pallas.cluster_intersect import (
+    INF, _fill_local_rays, _mt_cluster, _slab, _slab_inv)
 
 # Internal miss sentinel.  Must stay exactly representable through the
 # one-hot matmul's bf16 hi/lo decomposition — the output INF (3.4e38)
@@ -203,17 +203,7 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     dy = rays_ref[4, :]
     dz = rays_ref[5, :]
 
-    def obj_body(o, _):
-        m = [inv_ref[o, k] for k in range(12)]
-        lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-        lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-        lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-        lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
-        lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
-        lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
-        return 0
-
-    jax.lax.fori_loop(0, num_objects, obj_body, 0)
+    _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz, num_objects)
 
     # t_max (NEE shadow) rays clamp to BIG: padded lanes carry INF,
     # which is not matmul-safe (see BIG above); min() keeps semantics
@@ -243,7 +233,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
         amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
         amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
         bt_flat = best_t[:].reshape(tile)
-        hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt_flat)
+        hit = _slab_inv(lox, loy, loz, lray[obj, 6, :], lray[obj, 7, :],
+                        lray[obj, 8, :], amin, amax, bt_flat)
 
         @pl.when(jnp.any(hit))
         def _():
@@ -286,17 +277,8 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
 
     @pl.when(j == 0)
     def _():
-        def obj_body(o, _):
-            m = [inv_ref[o, k] for k in range(12)]
-            lray[o, 0, :] = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            lray[o, 1, :] = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            lray[o, 2, :] = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            lray[o, 3, :] = m[0] * dx + m[1] * dy + m[2] * dz
-            lray[o, 4, :] = m[4] * dx + m[5] * dy + m[6] * dz
-            lray[o, 5, :] = m[8] * dx + m[9] * dy + m[10] * dz
-            return 0
-
-        jax.lax.fori_loop(0, num_objects, obj_body, 0)
+        _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
+                         num_objects)
         best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
                      if has_tmax else jnp.full((g_n, 128), BIG))
         best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
@@ -327,7 +309,9 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
             amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
             amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
             bt = best_t[:].reshape(tile)
-            hit = _slab(lox, loy, loz, ldx, ldy, ldz, amin, amax, bt)
+            hit = _slab_inv(lox, loy, loz, lray[obj, 6, :],
+                            lray[obj, 7, :], lray[obj, 8, :],
+                            amin, amax, bt)
 
             @pl.when(jnp.any(hit) & (c < num_real))
             def _():
@@ -406,7 +390,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
             jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((o, 6, tile), jnp.float32),   # local rays
+            pltpu.VMEM((o, 9, tile), jnp.float32),   # local rays + 1/d
             pltpu.VMEM((sub, 128), jnp.float32),     # best_t
             pltpu.VMEM((sub, 128), jnp.int32),       # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),       # best_obj

@@ -60,7 +60,7 @@ def _stream_fits(cfg: RenderConfig, scene) -> bool:
     chunk = cfg.stream_chunk
     cp = -(-c // chunk) * chunk
     vmem = (2 * chunk * 16 * lanes * 4     # double-buffered tri chunks
-            + o * 6 * tile * 4             # local-ray scratch
+            + o * 16 * tile * 4            # local-ray scratch (9->16 pad)
             + 8 * tile * 4                 # ray block
             + 6 * tile * 4)                # best t/tri/obj (+outputs)
     # SMEM: meta [2, Cp] + aabb [8, Cp] + chunk_aabb [6, NC] + inv [O, 12].
@@ -86,7 +86,7 @@ def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
         tri_rows = (4 * lanes if (mode == "compact" and cfg.mt_mxu)
                     else lanes)
         vmem = (c * 16 * tri_rows * 4      # triangles / MT features
-                + o * 6 * tile * 4         # local-ray scratch
+                + o * 16 * tile * 4        # local-ray scratch (9->16 pad)
                 + 8 * tile * 4             # ray block
                 + 6 * tile * 4)            # best t/tri/obj (+outputs)
         if mode == "compact":
