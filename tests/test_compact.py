@@ -88,3 +88,45 @@ def test_render_with_compact_matches_bvh(cornell_scene):
     # where the stochastic path diverges (same bound as test_sweep).
     close = np.isclose(a, b, rtol=1e-4, atol=1e-6).all(axis=-1)
     assert close.mean() > 0.99, f"{(~close).sum()} divergent pixels"
+
+
+def test_mt_feature_algebra(cornell_scene, rng):
+    """build_mt_features: F @ G must reproduce the elementwise MT
+    quantities (det, u, v, t) on random rays — pure numpy, no kernel."""
+    s = cornell_scene
+    cl_tris = np.asarray(s.cl_tris)
+    cl_aabb = np.asarray(s.cl_aabb)
+    g = np.asarray(s.cl_mt)
+    c, _, lanes = cl_tris.shape
+    ci = int(rng.integers(0, c))
+    n = 32
+    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    center = 0.5 * (cl_aabb[ci, 0:3] + cl_aabb[ci, 3:6])
+    ol = o - center
+    m = np.cross(ol, d)
+    f = np.concatenate([d, m, ol, np.ones((n, 1), np.float32),
+                        np.zeros((n, 6), np.float32)], axis=1)  # [n, 16]
+    prod = f.astype(np.float64) @ g[ci].astype(np.float64)      # [n, 4S]
+    det_b = prod[:, 0:lanes]
+    u_b = prod[:, lanes:2 * lanes] / np.where(det_b == 0, 1, det_b)
+    t_b = prod[:, 3 * lanes:4 * lanes] / np.where(det_b == 0, 1, det_b)
+
+    v0 = cl_tris[ci, 0:3].T
+    e1 = cl_tris[ci, 3:6].T
+    e2 = cl_tris[ci, 6:9].T
+    real = np.abs(cl_tris[ci]).max(axis=0) > 0
+    p = np.cross(d[:, None, :], e2[None])                       # [n, S, 3]
+    det_e = np.sum(e1[None] * p, axis=-1)
+    tvec = o[:, None, :] - v0[None]
+    u_e = np.sum(tvec * p, axis=-1) / np.where(det_e == 0, 1, det_e)
+    q = np.cross(tvec, e1[None])
+    t_e = np.sum(e2[None] * q, axis=-1) / np.where(det_e == 0, 1, det_e)
+
+    np.testing.assert_allclose(det_b[:, real], det_e[:, real],
+                               rtol=1e-4, atol=1e-5)
+    ok = np.abs(det_e[:, real]) > 1e-4   # well-conditioned pairs
+    np.testing.assert_allclose(u_b[:, real][ok], u_e[:, real][ok],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(t_b[:, real][ok], t_e[:, real][ok],
+                               rtol=1e-3, atol=1e-3)
