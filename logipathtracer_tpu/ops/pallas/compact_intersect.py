@@ -351,6 +351,10 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     c, rows, cols = cl_tris.shape
     if mxu:
         assert rows == 16, "mxu path needs scene.cl_mt [C, 16, 4S]"
+        assert c == cl_meta.shape[1], (
+            f"cl_tris has {c} clusters but cl_meta has {cl_meta.shape[1]}; "
+            "scene was compiled with a placeholder cl_mt (cfg.mt_mxu must "
+            "be set at compile_scene time for big scenes)")
         lanes = cols // 4
     else:
         lanes = cols

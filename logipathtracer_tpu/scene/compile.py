@@ -71,6 +71,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     mesh_node_cursor = 0
     vtx_cursor = 0
+    light_rows = []
 
     builder = _select_builder(use_native, cfg.bvh_spatial_splits)
 
@@ -121,6 +122,25 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
             mesh_node_cursor += bvh.num_nodes
             vtx_cursor += order.shape[0] * 3
 
+            # Emissive-triangle light table (NEE — beyond reference).
+            # Built from the PRE-BVH primitive triangles so SBVH spatial
+            # splits (which duplicate straddling triangles into vtx_pos)
+            # cannot double-count an emitter's area/selection mass.
+            emission = mat.emissive_factor.astype(np.float32)
+            if emission.max() > 0:
+                tw = tri_pos @ world[:3, :3].T + world[:3, 3]
+                e1 = tw[:, 1] - tw[:, 0]
+                e2 = tw[:, 2] - tw[:, 0]
+                area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+                for k in np.nonzero(area > 0)[0]:
+                    row = np.zeros(16, np.float32)
+                    row[0:3] = tw[k, 0]
+                    row[3:6] = e1[k]
+                    row[6:9] = e2[k]
+                    row[9:12] = emission
+                    row[12] = area[k]
+                    light_rows.append(row)
+
     num_objects = len(obj_world)
     assert num_objects > 0, "scene has no renderable geometry"
 
@@ -162,34 +182,8 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     tex_atlas, tex_table, tex_mip_base, tex_mip_count = _pack_textures(
         gltf, cfg.mip_levels)
 
-    # Emissive-triangle table (NEE light sampling — beyond reference).
-    light_rows = []
-    for o in range(num_objects):
-        if obj_emission[o].max() <= 0:
-            continue
-        v0b = int(obj_vtx_offset[o])
-        # Triangle count of object o = span until the next offset.
-        spans = np.sort(obj_vtx_offset.astype(np.int64))
-        nxt = {int(a): int(b) for a, b in zip(
-            spans, list(spans[1:]) + [vtx_pos.shape[0]])}
-        tcount = (nxt[v0b] - v0b) // 3
-        tri = vtx_pos[v0b:v0b + 3 * tcount].reshape(tcount, 3, 3)
-        m = obj_world[o]
-        tw = tri @ m[:3, :3].T + m[:3, 3]
-        e1 = tw[:, 1] - tw[:, 0]
-        e2 = tw[:, 2] - tw[:, 0]
-        cr = np.cross(e1, e2)
-        area = 0.5 * np.linalg.norm(cr, axis=1)
-        for k in range(tcount):
-            if area[k] <= 0:
-                continue
-            row = np.zeros(16, np.float32)
-            row[0:3] = tw[k, 0]
-            row[3:6] = e1[k]
-            row[6:9] = e2[k]
-            row[9:12] = obj_emission[o]
-            row[12] = area[k]
-            light_rows.append(row)
+    # Emissive-triangle table rows were collected pre-BVH in the main
+    # loop above (one row per source triangle, SBVH-duplication-proof).
     if light_rows:
         light_tris = np.stack(light_rows)
         areas = light_tris[:, 12]
@@ -301,7 +295,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         # MXU MT path could use them — small resident scenes or an
         # explicit cfg.mt_mxu (big scenes stream, which has no MXU MT).
         cl_mt=(build_mt_features(clustered.cl_tris, clustered.cl_aabb)
-               if (cfg.mt_mxu or vtx_pos.shape[0] <= 300_000)
+               if (cfg.mt_mxu or vtx_pos.shape[0] // 3 <= 300_000)
                else np.zeros((1, 16, 4 * clustered.cl_tris.shape[2]),
                              np.float32)),
         cl_order=cl_order,

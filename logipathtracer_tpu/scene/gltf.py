@@ -376,15 +376,16 @@ def _decode_image(img: Optional[dict], buffers: list[bytes], doc: dict,
         from logipathtracer_tpu.film.jpeg import decode_jpeg
         try:
             return decode_jpeg(data)
-        except ValueError:
+        except ValueError as decode_err:
             # Progressive/arithmetic JPEGs: fall through to PIL when
-            # the environment has it; re-raise otherwise.
+            # the environment has it; re-raise the decode error (not
+            # the PIL ImportError) otherwise.
             try:
                 import io
 
                 from PIL import Image
             except ImportError:
-                raise
+                raise decode_err from None
             arr = np.asarray(
                 Image.open(io.BytesIO(data)).convert("RGBA"), np.uint8)
             return arr

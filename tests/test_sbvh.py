@@ -98,3 +98,43 @@ def test_sbvh_scene_matches_plain_sah(cornell_gltf):
     tie = np.abs(np.asarray(t0) - np.asarray(t1)) <= 2e-6 * np.abs(
         np.asarray(t0))
     assert (same | tie).all()
+
+
+def test_sbvh_light_table_not_duplicated():
+    """SBVH spatial splits duplicate straddling triangles into vtx_pos;
+    the NEE light table must still hold each emissive source triangle
+    exactly once (else its selection mass and total area are inflated
+    and the estimator is biased over-bright)."""
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.gltf import (Gltf, Material, MeshNode,
+                                               Primitive)
+
+    tri = _thin_diagonal_soup(400, seed=3)
+    nrm = np.zeros_like(tri)
+    nrm[:, :, 2] = 1.0
+    mat = Material(name="glow",
+                   emissive_factor=np.array([5.0, 4.0, 3.0], np.float32))
+    gltf = Gltf(
+        mesh_nodes=[MeshNode(name="soup", world_matrix=np.eye(4, dtype=np.float32),
+                             primitives=[Primitive(positions=tri, normals=nrm,
+                                                   uvs=None, material=0)])],
+        cameras=[], materials=[mat], textures=[], name="glow-soup")
+
+    s_plain = compile_scene(gltf, RenderConfig(bvh_spatial_splits=False))
+    s_sbvh = compile_scene(gltf, RenderConfig(bvh_spatial_splits=True))
+    # The splits must actually have duplicated geometry for this test to
+    # exercise anything.
+    assert s_sbvh.vtx_pos.shape[0] > s_plain.vtx_pos.shape[0]
+
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    n_emissive = int((area > 0).sum())
+    true_area = float(area[area > 0].sum())
+
+    for s in (s_plain, s_sbvh):
+        assert s.num_lights == n_emissive
+        np.testing.assert_allclose(s.total_light_area, true_area, rtol=1e-5)
+    np.testing.assert_allclose(np.sort(s_sbvh.light_tris[:, 12]),
+                               np.sort(s_plain.light_tris[:, 12]), rtol=1e-6)
