@@ -34,10 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 3.4e38
 
 
-def _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps):
+def _fast_recip(x):
+    """Approximate VPU reciprocal + one Newton step: ~0.5-1 ulp of the
+    rounded divide at a fraction of its op count.  Kernel-only (the VPU
+    approx instruction does not exist outside Mosaic)."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps, fast: bool = False):
     """Dense Möller-Trumbore: rays [T] (components) x cluster [9, S].
 
     Returns t [T, S] (inf/NaN on miss — caller gates acceptance).
+    ``fast`` swaps the 1/det divide for _fast_recip (kernel-only; ~1-ulp
+    t noise, the same class as the compaction one-hot tail).
     """
     v0x, v0y, v0z = trib[0][None, :], trib[1][None, :], trib[2][None, :]
     e1x, e1y, e1z = trib[3][None, :], trib[4][None, :], trib[5][None, :]
@@ -49,7 +59,8 @@ def _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps):
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
-    det = 1.0 / (e1x * px + e1y * py + e1z * pz)
+    det_raw = e1x * px + e1y * py + e1z * pz
+    det = _fast_recip(det_raw) if fast else 1.0 / det_raw
     tx = ox - v0x
     ty = oy - v0y
     tz = oz - v0z

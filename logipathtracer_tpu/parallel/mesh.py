@@ -175,14 +175,15 @@ def _build_step(mesh: Mesh, cfg: RenderConfig, scene):
     """Jitted sharded step: (scene, cam, fov, seeds[S,2],
     accum[S,H,W,3], reset) -> (accum', rays).
 
-    Each (sample, tile) shard renders its row slab via the megakernel;
-    with a pure sample-parallel mesh (tiles == 1) and the wavefront
-    renderer selected, shards run the pooled wavefront instead."""
+    Each (sample, tile) shard renders its row slab — through the pooled
+    wavefront when the config selects it (the production TPU renderer;
+    render_wavefront's y0/rows slab support keys RNG streams on absolute
+    pixel coordinates), else through the lockstep megakernel."""
     t = mesh.shape["tiles"]
     rows_local = cfg.render_height // t
     use_wavefront = (cfg.renderer == "wavefront"
                      or (cfg.renderer == "auto"
-                         and jax.default_backend() == "tpu")) and t == 1
+                         and jax.default_backend() == "tpu"))
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
 
@@ -192,15 +193,16 @@ def _build_step(mesh: Mesh, cfg: RenderConfig, scene):
              out_specs=(P("samples", "tiles"), P("samples")),
              check_vma=False)
     def sharded(scene, cam, fov, seeds, accum, reset):
+        tile = jax.lax.axis_index("tiles")
+        y0 = (tile * rows_local).astype(jnp.int32)
         if use_wavefront:
             from logipathtracer_tpu.render.wavefront import render_wavefront
             img, rays = render_wavefront.__wrapped__(
                 scene, cfg, cam, fov, seeds,
                 pool=min(cfg.pool_size,
-                         cfg.render_width * cfg.render_height))
+                         seeds.shape[0] * rows_local * cfg.render_width),
+                y0=y0, rows=rows_local)
         else:
-            tile = jax.lax.axis_index("tiles")
-            y0 = (tile * rows_local).astype(jnp.int32)
             img, rays = render_rows(scene, cfg, cam, fov, seeds[0], y0,
                                     rows_local)
         new = jnp.where(reset, img[None], accum + img[None])

