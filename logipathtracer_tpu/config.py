@@ -85,12 +85,17 @@ class RenderConfig:
                                   # scene exceeds the VMEM budget, bvh
                                   # elsewhere.
     sweep_tile: int = 1024        # rays per Pallas sweep tile
-    compact_tile: int = 2048      # rays per compaction-sweep tile
+    compact_tile: int = 4096      # rays per compaction-sweep tile
                                   # (bigger tiles densify the per-
-                                  # cluster ray buckets)
+                                  # cluster ray buckets; 4096 measured
+                                  # best round 3, scripts/compact_probe)
     compact_cap: int = 128        # compacted MT block width (rays per
                                   # Moller-Trumbore pass of one fired
                                   # cluster)
+    compact_rank: str = "roll"    # compaction rank form: roll (log-step
+                                  # roll prefix sums + one transposed
+                                  # one-hot; round-3 winner) | matmul
+                                  # (0/1-matmul ranks, round-2 form)
     mt_mxu: bool = False          # compact sweep: run each block's
                                   # Moller-Trumbore as ONE MXU matmul
                                   # on the bilinear feature form

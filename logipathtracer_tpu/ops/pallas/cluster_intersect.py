@@ -131,7 +131,8 @@ def _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
 
 def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
                        hit, best_t, best_tri, best_obj, sub_slot_ids,
-                       *, tile: int, lanes: int, eps: float):
+                       *, tile: int, lanes: int, eps: float,
+                       fast: bool = False):
     """Masked Möller-Trumbore of one fired cluster against the tile's
     128-ray sub-tiles, updating the best-hit scratch buffers.
 
@@ -149,7 +150,7 @@ def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
             t = _mt_cluster(lox[lo_:hi_], loy[lo_:hi_],
                             loz[lo_:hi_], ldx[lo_:hi_],
                             ldy[lo_:hi_], ldz[lo_:hi_],
-                            trib, eps)
+                            trib, eps, fast=fast)
             bt2 = best_t[sub, :]
             ok = (t > eps) & (t < bt2[:, None])
             t = jnp.where(ok, t, INF)
@@ -169,7 +170,8 @@ def _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, trib, tri_base, obj,
 def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
             t_out, tri_out, obj_out, lray, best_t, best_tri, best_obj,
             *, num_objects: int, num_clusters: int, eps: float,
-            tile: int, lanes: int, has_tmax: bool = False):
+            tile: int, lanes: int, has_tmax: bool = False,
+            fast: bool = True):
     # --- per-object local rays --------------------------------------
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -219,7 +221,7 @@ def _kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref, tris_ref,
             _mt_subtile_update(lox, loy, loz, ldx, ldy, ldz, tris_ref[c],
                                tri_base, obj, hit, best_t, best_tri,
                                best_obj, sub_slot_ids, tile=tile,
-                               lanes=lanes, eps=eps)
+                               lanes=lanes, eps=eps, fast=fast)
 
         return 0
 
@@ -263,7 +265,7 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     grid = (r // tile,)
     kernel = functools.partial(
         _kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
-        lanes=lanes, has_tmax=has_tmax)
+        lanes=lanes, has_tmax=has_tmax, fast=not interpret)
 
     outs = pl.pallas_call(
         kernel,
@@ -306,7 +308,7 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
                    tris_ref, t_out, tri_out, obj_out, lray, best_t,
                    best_tri, best_obj, *, num_objects: int, chunk: int,
                    num_chunks: int, num_real: int, eps: float, tile: int,
-                   lanes: int, has_tmax: bool = False):
+                   lanes: int, has_tmax: bool = False, fast: bool = True):
     """HBM-streamed cluster sweep: grid (ray tiles, cluster chunks).
 
     The resident kernel holds every cluster triangle in VMEM; scenes
@@ -377,7 +379,7 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
                                    tris_ref[k], tri_base, obj, hit,
                                    best_t, best_tri, best_obj,
                                    sub_slot_ids, tile=tile, lanes=lanes,
-                                   eps=eps)
+                                   eps=eps, fast=fast)
 
             return 0
 
@@ -393,11 +395,12 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "interpret",
-                                    "has_tmax", "cap"))
+                                    "has_tmax", "cap", "rank_mode"))
 def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
                              rays8, tile: int = 2048, chunk: int = 16,
                              eps: float = 1e-4, interpret: bool = False,
-                             has_tmax: bool = False, cap: int = 0):
+                             has_tmax: bool = False, cap: int = 0,
+                             rank_mode: str = "roll"):
     """Closest hit via the HBM-streamed sweep (big scenes).
 
     Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
@@ -455,12 +458,13 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
         kernel = functools.partial(
             _stream_compact_kernel, num_objects=o, chunk=chunk,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
-            lanes=lanes, cap=cap, has_tmax=has_tmax)
+            lanes=lanes, cap=cap, has_tmax=has_tmax, fast=not interpret,
+            rank_mode=rank_mode)
     else:
         kernel = functools.partial(
             _stream_kernel, num_objects=o, chunk=chunk,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
-            lanes=lanes, has_tmax=has_tmax)
+            lanes=lanes, has_tmax=has_tmax, fast=not interpret)
 
     outs = pl.pallas_call(
         kernel,

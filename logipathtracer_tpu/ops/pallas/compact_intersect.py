@@ -115,16 +115,103 @@ def _mt_mxu(acc, trib_mt, centroid, eps, lanes):
     return jnp.where(miss, BIG, t)
 
 
-def _compact_cluster_update(hit, lox, loy, loz, ldx, ldy, ldz, trib,
-                            tri_base, obj, best_t, best_tri, best_obj,
-                            consts, slot_ids, *, g_n: int, cap: int,
-                            lanes: int, eps: float, mxu: bool = False,
-                            centroid=None):
+def _roll_prefix_consts(g_n: int, cap: int, tile: int):
+    """Iotas for the roll-based rank path (rank_mode='roll')."""
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 128), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 1), 0)
+    iota_cap_t = jax.lax.broadcasted_iota(
+        jnp.int32, (cap, tile), 0).astype(jnp.float32)
+    return lane_iota, sub_iota, iota_cap_t
+
+
+def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
+                                 best_tri, best_obj, rconsts, slot_ids, *,
+                                 g_n: int, cap: int, lanes: int,
+                                 eps: float, fast: bool = True):
+    """rank_mode='roll' variant of _compact_cluster_update: log-step
+    roll prefix sums in the natural [G, 128] layout and ONE transposed
+    [cap, tile] one-hot per block — no transpose matmuls, no per-group
+    loops (measured vs the matmul-rank form on real workloads via
+    scripts/compact_probe.py --rank)."""
+    lane_iota, sub_iota, iota_cap_t = rconsts
+    tile = g_n * 128
+    h2 = hit.astype(jnp.float32).reshape(g_n, 128)
+    inc = h2
+    k = 1
+    while k < 128:
+        inc = inc + jnp.where(lane_iota >= k,
+                              pltpu.roll(inc, k, axis=1), 0.0)
+        k *= 2
+    colex = inc - h2                       # exclusive, within each row
+    tot = inc[:, 127:128]                  # [G, 1] row totals
+    ro = tot
+    k = 1
+    while k < g_n:
+        ro = ro + jnp.where(sub_iota >= k, pltpu.roll(ro, k, axis=0), 0.0)
+        k *= 2
+    n = ro[g_n - 1, 0]
+    ro = ro - tot                          # exclusive row offsets
+    rank_flat = (colex + ro).reshape(1, tile)
+    hit_flat = h2.reshape(1, tile)
+    nb = jax.lax.convert_element_type(
+        jnp.ceil(n * (1.0 / cap)), jnp.int32)
+
+    def block_body(b, _):
+        basef = jax.lax.convert_element_type(b, jnp.float32) * cap
+        p_t = ((rank_flat - basef == iota_cap_t)
+               & (hit_flat > 0.5)).astype(jnp.float32)   # [cap, tile]
+        acc = _dotg(feats6, p_t, ((1,), (1,)))           # [6, cap]
+        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                        acc[5], trib, eps, fast=fast)    # [cap, S]
+        ok = t > eps
+        t = jnp.where(ok, t, BIG)
+        tmin = jnp.min(t, axis=1)
+        is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+        slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
+        hitf = tmin < BIG
+        res = jnp.concatenate([
+            tmin[None, :],
+            jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
+            hitf.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
+        out_all = _dotg(res, p_t, ((1,), (0,)))          # [3, tile]
+        for g in range(g_n):
+            sl = slice(g * 128, (g + 1) * 128)
+            du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])
+            best_t[g, :] = jnp.where(du, out_all[0, sl], best_t[g, :])
+            best_tri[g, :] = jnp.where(
+                du, tri_base + out_all[1, sl].astype(jnp.int32),
+                best_tri[g, :])
+            best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
+        return 0
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
+
+
+def _compact_cluster_update(hit, feats6, trib, tri_base, obj, best_t,
+                            best_tri, best_obj, consts, slot_ids, *,
+                            g_n: int, cap: int, lanes: int, eps: float,
+                            mxu: bool = False, centroid=None,
+                            fast: bool = True):
     """Compact the slab-passing rays of ONE fired cluster into dense
     CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
-    (elementwise VPU, or one MXU matmul when ``mxu`` — trib then holds
-    the [16, 4S] feature matrix), and scatter the improvements back
-    into the best-hit scratch."""
+    (elementwise VPU with fast reciprocal, or one MXU matmul when
+    ``mxu`` — trib then holds the [16, 4S] feature matrix), and scatter
+    the improvements back into the best-hit scratch.
+
+    feats6: [6, tile] local rays (o.xyz, d.xyz) — one 2-D ref read.
+
+    Round-3 restructure (scripts/epilogue_probe.py measurements):
+      * gather/scatter run as ONE [6,tile]@[tile,cap] / [3,cap]@[tile,cap]^T
+        matmul each (K=tile) instead of per-128-group loops — the
+        per-group matmuls were launch-overhead-bound (measured 12x
+        slower in isolation);
+      * the best-t acceptance moved to the scatter side (equivalent:
+        min over the superset {t > eps} equals min over {t > eps,
+        t < best} whenever the latter is nonempty, and the scatter
+        compare rejects the rest), dropping the best_t gather row;
+      * the MT's 1/det runs as approx-reciprocal + one Newton step on
+        TPU (``fast``) — the exact divide dominated the epilogue.
+    """
     ident, ltri, gtri, ones_row = consts
     h2 = hit.astype(jnp.float32).reshape(g_n, 128)      # [G, 128]
     # Transpose the hit mask so ranks live on sublanes (where the
@@ -149,40 +236,32 @@ def _compact_cluster_update(hit, lox, loy, loz, ldx, ldy, ldz, trib,
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
-        acc = jnp.zeros((7, cap), jnp.float32)
-        for g in range(g_n):
-            lo_, hi_ = g * 128, (g + 1) * 128
-            feats = jnp.concatenate([
-                lox[lo_:hi_][None, :], loy[lo_:hi_][None, :],
-                loz[lo_:hi_][None, :], ldx[lo_:hi_][None, :],
-                ldy[lo_:hi_][None, :], ldz[lo_:hi_][None, :],
-                best_t[g, :][None, :]], axis=0)         # [7, 128]
-            acc = acc + _dotg(feats, onehot(g, basef),
-                              ((1,), (0,)))             # [7, cap]
+        p_all = jnp.concatenate(
+            [onehot(g, basef) for g in range(g_n)], axis=0)  # [tile, cap]
+        acc = _dotg(feats6, p_all, ((1,), (0,)))             # [6, cap]
 
         if mxu:
             t = _mt_mxu(acc, trib, centroid, eps, lanes)  # [cap, S]
         else:
             t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
-                            acc[5], trib, eps)            # [cap, S]
-        btc = acc[6]
-        ok = (t > eps) & (t < btc[:, None])
+                            acc[5], trib, eps, fast=fast)  # [cap, S]
+        ok = t > eps
         t = jnp.where(ok, t, BIG)
         tmin = jnp.min(t, axis=1)
         is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
         slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
-        upd = tmin < btc
+        hitf = tmin < BIG
         res = jnp.concatenate([
-            jnp.where(upd, tmin, 0.0)[None, :],
-            jnp.where(upd, slot.astype(jnp.float32), 0.0)[None, :],
-            upd.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
+            tmin[None, :],
+            jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
+            hitf.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
+        out_all = _dotg(res, p_all, ((1,), (1,)))        # [3, tile]
         for g in range(g_n):
-            outg = _dotg(res, onehot(g, basef),
-                         ((1,), (1,)))                  # [3, 128]
-            du = outg[2] > 0.5
-            best_t[g, :] = jnp.where(du, outg[0], best_t[g, :])
+            sl = slice(g * 128, (g + 1) * 128)
+            du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])
+            best_t[g, :] = jnp.where(du, out_all[0, sl], best_t[g, :])
             best_tri[g, :] = jnp.where(
-                du, tri_base + outg[1].astype(jnp.int32),
+                du, tri_base + out_all[1, sl].astype(jnp.int32),
                 best_tri[g, :])
             best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
         return 0
@@ -194,7 +273,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
                     tris_ref, t_out, tri_out, obj_out, lray, best_t,
                     best_tri, best_obj, *, num_objects: int,
                     num_clusters: int, eps: float, tile: int, lanes: int,
-                    cap: int, has_tmax: bool, mxu: bool = False):
+                    cap: int, has_tmax: bool, mxu: bool = False,
+                    fast: bool = True, rank_mode: str = "matmul"):
     g_n = tile // 128
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -214,7 +294,9 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
-    consts = _prefix_consts(g_n)
+    use_roll = rank_mode == "roll" and not mxu
+    consts = (_roll_prefix_consts(g_n, cap, tile) if use_roll
+              else _prefix_consts(g_n))
 
     oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
             + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
@@ -238,14 +320,23 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
 
         @pl.when(jnp.any(hit))
         def _():
-            centroid = (0.5 * (amin[0] + amax[0]),
-                        0.5 * (amin[1] + amax[1]),
-                        0.5 * (amin[2] + amax[2])) if mxu else None
-            _compact_cluster_update(
-                hit, lox, loy, loz, ldx, ldy, ldz, tris_ref[c], tri_base,
-                obj, best_t, best_tri, best_obj, consts, slot_ids,
-                g_n=g_n, cap=cap, lanes=lanes, eps=eps, mxu=mxu,
-                centroid=centroid)
+            # The MXU-MT option keeps the matmul-rank update (it is an
+            # off-by-default measured-slower path; no need for both
+            # rank forms there).
+            if use_roll:
+                _compact_cluster_update_roll(
+                    hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
+                    obj, best_t, best_tri, best_obj, consts, slot_ids,
+                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast)
+            else:
+                centroid = (0.5 * (amin[0] + amax[0]),
+                            0.5 * (amin[1] + amax[1]),
+                            0.5 * (amin[2] + amax[2])) if mxu else None
+                _compact_cluster_update(
+                    hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
+                    obj, best_t, best_tri, best_obj, consts, slot_ids,
+                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, mxu=mxu,
+                    centroid=centroid, fast=fast)
 
         return 0
 
@@ -261,7 +352,8 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
                            lray, best_t, best_tri, best_obj, *,
                            num_objects: int, chunk: int, num_chunks: int,
                            num_real: int, eps: float, tile: int,
-                           lanes: int, cap: int, has_tmax: bool):
+                           lanes: int, cap: int, has_tmax: bool,
+                           fast: bool = True, rank_mode: str = "roll"):
     """HBM-streamed variant: grid (ray tiles, cluster chunks), cluster
     blocks double-buffered from HBM (see cluster_intersect.py::
     _stream_kernel for the streaming structure) with the compacted MT
@@ -285,7 +377,8 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
         best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
-    consts = _prefix_consts(g_n)
+    consts = (_roll_prefix_consts(g_n, cap, tile) if rank_mode == "roll"
+              else _prefix_consts(g_n))
 
     camin = (chunk_aabb_ref[0, j], chunk_aabb_ref[1, j],
              chunk_aabb_ref[2, j])
@@ -315,10 +408,18 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
 
             @pl.when(jnp.any(hit) & (c < num_real))
             def _():
-                _compact_cluster_update(
-                    hit, lox, loy, loz, ldx, ldy, ldz, tris_ref[k],
-                    tri_base, obj, best_t, best_tri, best_obj, consts,
-                    slot_ids, g_n=g_n, cap=cap, lanes=lanes, eps=eps)
+                if rank_mode == "roll":
+                    _compact_cluster_update_roll(
+                        hit, lray[obj, 0:6, :], tris_ref[k],
+                        tri_base, obj, best_t, best_tri, best_obj,
+                        consts, slot_ids, g_n=g_n, cap=cap, lanes=lanes,
+                        eps=eps, fast=fast)
+                else:
+                    _compact_cluster_update(
+                        hit, lray[obj, 0:6, :], tris_ref[k],
+                        tri_base, obj, best_t, best_tri, best_obj,
+                        consts, slot_ids, g_n=g_n, cap=cap, lanes=lanes,
+                        eps=eps, fast=fast)
 
             return 0
 
@@ -333,11 +434,12 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
-                                             "mxu"))
+                                             "mxu", "rank_mode"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
-                              has_tmax: bool = False, mxu: bool = False):
+                              has_tmax: bool = False, mxu: bool = False,
+                              rank_mode: str = "matmul"):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -365,7 +467,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     grid = (r // tile,)
     kernel = functools.partial(
         _compact_kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
-        lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu)
+        lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
+        fast=not interpret, rank_mode=rank_mode)
 
     outs = pl.pallas_call(
         kernel,

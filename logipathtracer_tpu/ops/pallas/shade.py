@@ -61,6 +61,21 @@ O_S0, O_S1 = 12, 13
 O_ALIVE = 14
 O_SKIP = 15
 OUT_K = 16
+# NEE variant (nee=True) appends the shadow query + pending
+# contribution; visibility is resolved OUTSIDE the kernel (the shadow
+# rays go through the main intersect kernel with t_max) and the
+# contribution rows are added where visible.
+O_SOX, O_SOY, O_SOZ = 16, 17, 18   # shadow origin (1e30-parked)
+O_SDX, O_SDY, O_SDZ = 19, 20, 21   # shadow direction
+O_TLIM = 22                        # shadow t_max (1.0 on non-NEE lanes)
+O_CR, O_CG, O_CB = 23, 24, 25      # pending contribution (pre-visibility)
+OUT_K_NEE = 26
+
+# Light-table block layout (built by build_light_block): rows 0-15 are
+# light_tris columns (v0.xyz, e1.xyz, e2.xyz, emission.xyz, area, pad),
+# row 16 = cdf (last forced 1.0), row 17 = cdf shifted right (first
+# -1.0) — the pair makes the in-kernel pick a two-compare one-hot with
+# searchsorted-left semantics.  Lanes padded to 128 with cdf_hi=2.
 
 _MUL = np.uint32(1103515245)
 _INV_PARITY = np.float32(1.0) / np.float32(4294967295.0)
@@ -126,7 +141,12 @@ def _dot(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
+def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
+            nee: bool = False):
+    if nee:
+        lights_ref, out_ref = rest
+    else:
+        lights_ref, (out_ref,) = None, rest
     f = lambda k: in_ref[k, :]
     i = lambda k: jax.lax.bitcast_convert_type(in_ref[k, :], jnp.int32)
 
@@ -152,16 +172,29 @@ def _kernel(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
         out_ref[O_S1, :] = f(I_S1)
         out_ref[O_ALIVE, :] = f(I_ALIVE)
         out_ref[O_SKIP, :] = f(I_SKIP)
+        if nee:
+            park = jnp.full((tile,), 1e30, jnp.float32)
+            out_ref[O_SOX, :] = park
+            out_ref[O_SOY, :] = park
+            out_ref[O_SOZ, :] = park
+            out_ref[O_SDX, :] = jnp.zeros((tile,), jnp.float32)
+            out_ref[O_SDY, :] = jnp.zeros((tile,), jnp.float32)
+            out_ref[O_SDZ, :] = jnp.ones((tile,), jnp.float32)
+            out_ref[O_TLIM, :] = jnp.ones((tile,), jnp.float32)
+            out_ref[O_CR, :] = jnp.zeros((tile,), jnp.float32)
+            out_ref[O_CG, :] = jnp.zeros((tile,), jnp.float32)
+            out_ref[O_CB, :] = jnp.zeros((tile,), jnp.float32)
 
     @pl.when(tile_live)
     def _():
-        _shade_tile(in_ref, out_ref, cfg_tuple=cfg_tuple,
-                    rand_kind=rand_kind, tile=tile)
+        _shade_tile(in_ref, lights_ref, out_ref, cfg_tuple=cfg_tuple,
+                    rand_kind=rand_kind, tile=tile, nee=nee)
 
 
-def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
-    (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order) = \
-        cfg_tuple
+def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
+                tile: int, nee: bool = False):
+    (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order,
+     nee_mis, total_area) = cfg_tuple
     rand = _rand_parity if rand_kind == "parity" else _rand_threefry
 
     f = lambda k: in_ref[k, :]
@@ -257,13 +290,6 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     is_trans = (~is_metal) & (r_lobe < met_w + trans_w)
     is_diff = ~(is_metal | is_trans)
 
-    # ---- emission pre-BSDF with pre-bounce mask (:269).  NEE's MIS
-    # emission weighting lives in the jnp path (resolve_shade_mode
-    # excludes NEE configs from this kernel), so weight here is 1.
-    ar = ar + jnp.where(alive, mr * em_r, 0.0)
-    ag = ag + jnp.where(alive, mg * em_g, 0.0)
-    ab = ab + jnp.where(alive, mb * em_b, 0.0)
-
     # ---- shading normal (mat3(world) @ n, no inverse transpose :272) ----
     nlx = bu * tsh(0) + bv * tsh(3) + bw * tsh(6)
     nly = bu * tsh(1) + bv * tsh(4) + bw * tsh(7)
@@ -278,6 +304,25 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     ffy = jnp.where(flip, -ny, ny)
     ffz = jnp.where(flip, -nz, nz)
 
+    # ---- emission pre-BSDF with pre-bounce mask (:269).  With NEE+MIS
+    # the emission found by a BSDF ray from a light-sampled diffuse
+    # vertex carries the balance-heuristic weight
+    # prev_pdf / (prev_pdf + p_light_hit) (render/megakernel.py jnp
+    # twin); the block sits after the normal compute because the weight
+    # needs |n.d| — draw order is unchanged (no rands consumed here).
+    if nee:
+        cos_l_hit = jnp.abs(ndotd)
+        p_light_hit = t * t / (jnp.maximum(cos_l_hit, 1e-9) * total_area)
+        is_emitter = jnp.maximum(em_r, jnp.maximum(em_g, em_b)) > 0.0
+        mis_w = (prev_pdf / (prev_pdf + p_light_hit) if nee_mis
+                 else jnp.zeros_like(prev_pdf))
+        w_emit = jnp.where((prev_pdf > 0.0) & is_emitter, mis_w, 1.0)
+    else:
+        w_emit = 1.0
+    ar = ar + jnp.where(alive, mr * em_r * w_emit, 0.0)
+    ag = ag + jnp.where(alive, mg * em_g * w_emit, 0.0)
+    ab = ab + jnp.where(alive, mb * em_b * w_emit, 0.0)
+
     # tangent basis: axis pick |ff.x| > 0.1 (:274-275)
     pick_y = jnp.abs(ffx) > 0.1
     axx = jnp.where(pick_y, 0.0, 1.0)
@@ -291,6 +336,73 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     view_y = -_dot(dx, dy, dz, vx, vy, vz)
     view_z = -_dot(dx, dy, dz, ffx, ffy, ffz)
     outside = -_dot(nx, ny, nz, dx, dy, dz) > 0.0
+
+    # ---- NEE light sample (beyond reference; jnp twin:
+    # render/megakernel.py shade_step nee block).  Draw order matches
+    # the jnp path exactly: r1, r2, r3 on diffuse lanes, then the walk.
+    if nee:
+        nee_mask = alive & is_diff
+        r1, s0, s1 = rand(s0, s1, nee_mask)
+        r2, s0, s1 = rand(s0, s1, nee_mask)
+        r3, s0, s1 = rand(s0, s1, nee_mask)
+        # Area-proportional pick: one-hot from the (cdf_lo, cdf_hi) row
+        # pair — exactly searchsorted-left semantics — then a HIGHEST
+        # one-hot matmul gathers the winning light row per lane.
+        cdf_hi = lights_ref[16, :]
+        cdf_lo = lights_ref[17, :]
+        oh = ((cdf_hi[:, None] >= r1[None, :])
+              & (cdf_lo[:, None] < r1[None, :])).astype(jnp.float32)
+        lrow = jax.lax.dot_general(
+            lights_ref[0:16, :], oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # [16, T]
+        lv0x, lv0y, lv0z = lrow[0], lrow[1], lrow[2]
+        le1x, le1y, le1z = lrow[3], lrow[4], lrow[5]
+        le2x, le2y, le2z = lrow[6], lrow[7], lrow[8]
+        le_r, le_g, le_b = lrow[9], lrow[10], lrow[11]
+        su = jnp.sqrt(r2)
+        bu_l = 1.0 - su
+        bv_l = r3 * su
+        lpx = lv0x + bu_l * le1x + bv_l * le2x
+        lpy = lv0y + bu_l * le1y + bv_l * le2y
+        lpz = lv0z + bu_l * le1z + bv_l * le2z
+        # Park non-NEE lanes before the shadow-query math (same 1e30
+        # protocol as the main-path dead-lane parking).
+        shx = jnp.where(nee_mask, pwx, 1e30)
+        shy = jnp.where(nee_mask, pwy, 1e30)
+        shz = jnp.where(nee_mask, pwz, 1e30)
+        ldirx = lpx - jnp.where(nee_mask, shx, 0.0)
+        ldiry = lpy - jnp.where(nee_mask, shy, 0.0)
+        ldirz = lpz - jnp.where(nee_mask, shz, 0.0)
+        dist2 = jnp.maximum(
+            ldirx * ldirx + ldiry * ldiry + ldirz * ldirz, 1e-12)
+        dist = jnp.sqrt(dist2)
+        inv_dist = 1.0 / dist
+        wlx = ldirx * inv_dist
+        wly = ldiry * inv_dist
+        wlz = ldirz * inv_dist
+        lnx, lny, lnz = _cross(le1x, le1y, le1z, le2x, le2y, le2z)
+        ln_len = jnp.maximum(jnp.sqrt(
+            lnx * lnx + lny * lny + lnz * lnz), 1e-20)
+        cos_l = jnp.abs(-(lnx * wlx + lny * wly + lnz * wlz) / ln_len)
+        cos_s = _dot(ffx, ffy, ffz, wlx, wly, wlz)
+        # Light direction in tangent space (the walk's eval hook input).
+        wlu = _dot(wlx, wly, wlz, ux, uy, uz)
+        wlv = _dot(wlx, wly, wlz, vx, vy, vz)
+        t_lim = jnp.where(nee_mask, dist * (1.0 - 1e-3), 1.0)
+        p_light = dist2 / (jnp.maximum(cos_l, 1e-9) * total_area)
+        p_bsdf_l = jnp.maximum(cos_s, 0.0) * (1.0 / PI)
+        w_light = (p_light / (p_light + p_bsdf_l) if nee_mis
+                   else jnp.ones_like(p_light))
+        # Escape-probability rate toward the light (ops/bsdf.py:184-195).
+        al_ = roughness * roughness
+        slx = wlu * al_
+        sly = wlv * al_
+        proj_l = jnp.maximum(
+            0.5 * (jnp.sqrt(slx * slx + sly * sly + cos_s * cos_s)
+                   - cos_s), 1e-7)
+        esc_rate = proj_l / jnp.maximum(cos_s, 1e-7)
 
     # ---- fused Heitz walk (ops/bsdf.py::heitz_sample) -------------------
     alpha = roughness * roughness
@@ -315,7 +427,7 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
 
     def walk_body(carry):
         (i, s0, s1, ldx_t, ldy_t, ldz_t, height, en_r, en_g, en_b,
-         wo_f, walking_f) = carry
+         wo_f, walking_f, fe_r, fe_g, fe_b) = carry
         walk_outside = wo_f > 0.5
         walking = walking_f > 0.5
         below = is_trans & ~walk_outside
@@ -435,6 +547,19 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
         trz = jnp.where(refl_choice, rtz, rfz)
         walk_outside = walk_outside ^ (t_mask & ~refl_choice)
 
+        # NEE stochastic eval through this vertex's micro-normal
+        # (ops/bsdf.py:249-259): phase toward the light x escape
+        # probability, weighted by the CURRENT energy x base color.
+        if nee:
+            phase_l = jnp.maximum(
+                wlu * mx + wlv * my + cos_s * mz, 0.0) * (1.0 / PI)
+            esc = jnp.exp(jnp.minimum(height * esc_rate, 0.0))
+            em_ = cont & is_diff & nee_mask & (cos_s > 0.0)
+            pe = jnp.where(em_, phase_l * esc, 0.0)
+            fe_r = fe_r + pe * (en_r * base_r)
+            fe_g = fe_g + pe * (en_g * base_g)
+            fe_b = fe_b + pe * (en_b * base_b)
+
         # merge phases
         newx = jnp.where(is_diff, difx, jnp.where(is_trans, trx, rcx))
         newy = jnp.where(is_diff, dify, jnp.where(is_trans, try_, rcy))
@@ -450,14 +575,15 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
         return (i + 1, s0, s1, ldx_t, ldy_t, ldz_t, height,
                 en_r, en_g, en_b,
                 jnp.where(walk_outside, 1.0, 0.0),
-                jnp.where(cont, 1.0, 0.0))
+                jnp.where(cont, 1.0, 0.0), fe_r, fe_g, fe_b)
 
+    zero = jnp.zeros_like(alpha)
     carry = (jnp.int32(0), s0, s1, ldx_t, ldy_t, ldz_t, height,
              en_r, en_g, en_b, jnp.ones_like(alpha),
-             jnp.where(alive, 1.0, 0.0))
+             jnp.where(alive, 1.0, 0.0), zero, zero, zero)
     carry = jax.lax.while_loop(walk_cond, walk_body, carry)
     (_, s0, s1, ldx_t, ldy_t, ldz_t, height, en_r, en_g, en_b,
-     _, walking_f) = carry
+     _, walking_f, fe_r, fe_g, fe_b) = carry
     walking = walking_f > 0.5
 
     # exhaustion handling (heitz/BSDF.glsl:269-272, :208)
@@ -471,6 +597,16 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     w_r = jnp.where(is_trans, base_r, en_r)
     w_g = jnp.where(is_trans, base_g, en_g)
     w_b = jnp.where(is_trans, base_b, en_b)
+
+    # ---- NEE pending contribution (pre-visibility), with the PRE-walk
+    # mask (jnp twin: contrib computed before mask *= weight) ----------
+    if nee:
+        geom = cos_l * total_area / dist2 * w_light
+        use = nee_mask & (cos_s > 0.0)
+        gg = jnp.where(use, geom, 0.0)
+        c_r = mr * le_r * fe_r * gg
+        c_g = mg * le_g * fe_g * gg
+        c_b = mb * le_b * fe_b * gg
 
     mr = jnp.where(alive, mr * w_r, mr)
     mg = jnp.where(alive, mg * w_g, mg)
@@ -515,31 +651,84 @@ def _shade_tile(in_ref, out_ref, *, cfg_tuple, rand_kind: str, tile: int):
     out_ref[O_S0, :] = bf(s0)
     out_ref[O_S1, :] = bf(s1)
     out_ref[O_ALIVE, :] = bf(alive.astype(jnp.int32))
-    out_ref[O_SKIP, :] = prev_pdf
+    if nee:
+        # pdf (cos/pi) of the sampled diffuse direction — the NEXT
+        # vertex's emission MIS input (jnp twin: prev_pdf' update).
+        new_pdf = jnp.where(nee_mask,
+                            jnp.maximum(ldz_t, 0.0) * (1.0 / PI), 0.0)
+        out_ref[O_SKIP, :] = jnp.where(alive, new_pdf, prev_pdf)
+        out_ref[O_SOX, :] = shx
+        out_ref[O_SOY, :] = shy
+        out_ref[O_SOZ, :] = shz
+        out_ref[O_SDX, :] = wlx
+        out_ref[O_SDY, :] = wly
+        out_ref[O_SDZ, :] = wlz
+        out_ref[O_TLIM, :] = t_lim
+        out_ref[O_CR, :] = c_r
+        out_ref[O_CG, :] = c_g
+        out_ref[O_CB, :] = c_b
+    else:
+        out_ref[O_SKIP, :] = prev_pdf
+
+
+def build_light_block(light_tris, light_cdf):
+    """Host/trace-time light table for the NEE kernel: [18, Lp] f32
+    (rows 0-15 = light_tris columns, 16 = cdf with the last entry
+    forced to 1.0, 17 = cdf shifted right with a leading -1.0 so the
+    in-kernel two-compare one-hot reproduces searchsorted-left).
+    Lanes pad to a 128 multiple with cdf_hi=2 (never selected)."""
+    l = light_tris.shape[0]
+    lp = -(-l // 128) * 128
+    cdf_hi = jnp.asarray(light_cdf).at[l - 1].set(1.0)
+    cdf_lo = jnp.concatenate([jnp.full((1,), -1.0, jnp.float32),
+                              cdf_hi[:l - 1]])
+    block = jnp.concatenate([
+        jnp.asarray(light_tris).T,          # [16, L]
+        cdf_hi[None, :], cdf_lo[None, :]], axis=0)  # [18, L]
+    if lp != l:
+        pad = jnp.zeros((18, lp - l), jnp.float32).at[16, :].set(2.0)
+        pad = pad.at[17, :].set(1.5)
+        block = jnp.concatenate([block, pad], axis=1)
+    return block
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_tuple", "rand_kind",
-                                             "tile", "interpret"))
+                                             "tile", "interpret", "nee"))
 def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
-                 tile: int = 2048, interpret: bool = False):
+                 tile: int = 2048, interpret: bool = False,
+                 nee: bool = False, light_block=None):
     """Apply the fused shading kernel.
 
     state_rows: [IN_K, R] f32 (R multiple of ``tile``; ints bitcast).
     cfg_tuple: (env_r, env_g, env_b, eps, rr_threshold, rr_bounces,
-                max_order) — python floats/ints (static).
-    Returns [OUT_K, R] f32.
+                max_order, nee_mis, total_light_area) — python
+                floats/ints/bools (static).
+    nee: in-kernel next-event light sampling; ``light_block`` (from
+    build_light_block) is then required and the output grows to
+    OUT_K_NEE rows (shadow query + pending contribution — the caller
+    resolves visibility through the intersect kernel and adds the
+    contribution rows).
+    Returns [OUT_K or OUT_K_NEE, R] f32.
     """
     k, r = state_rows.shape
     assert k == IN_K and r % tile == 0
+    out_k = OUT_K_NEE if nee else OUT_K
     kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
-                               rand_kind=rand_kind, tile=tile)
+                               rand_kind=rand_kind, tile=tile, nee=nee)
+    in_specs = [pl.BlockSpec((IN_K, tile), lambda g: (0, g),
+                             memory_space=pltpu.VMEM)]
+    args = [state_rows]
+    if nee:
+        lb = light_block
+        in_specs.append(pl.BlockSpec(lb.shape, lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lb)
     return pl.pallas_call(
         kernel,
         grid=(r // tile,),
-        in_specs=[pl.BlockSpec((IN_K, tile), lambda g: (0, g),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((OUT_K, tile), lambda g: (0, g),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_k, tile), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((OUT_K, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_k, r), jnp.float32),
         interpret=interpret,
-    )(state_rows)
+    )(*args)

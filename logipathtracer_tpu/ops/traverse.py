@@ -145,7 +145,8 @@ def _padded_inverses(scene):
 
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
-                          t_max=None, cap: int = 128, mxu: bool = False):
+                          t_max=None, cap: int = 128, mxu: bool = False,
+                          rank_mode: str = "roll"):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -176,7 +177,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             scene.cl_mt if mxu else scene.cl_tris, rays8, tile=tile,
             cap=cap, eps=eps,
             interpret=(backend == "compact_interpret"),
-            has_tmax=t_max is not None, mxu=mxu)
+            has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -189,7 +190,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
                            backend: str = "pallas", t_max=None,
-                           cap: int = 0):
+                           cap: int = 0, rank_mode: str = "roll"):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -211,7 +212,7 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
         interpret=(backend == "interpret"), has_tmax=t_max is not None,
-        cap=cap)
+        cap=cap, rank_mode=rank_mode)
     return t[:r], obj[:r], tri[:r]
 
 

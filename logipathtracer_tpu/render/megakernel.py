@@ -118,7 +118,8 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode in ("compact", "compact_interpret"):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
-            t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu)
+            t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
+            rank_mode=cfg.compact_rank)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max)
@@ -128,7 +129,8 @@ def pick_intersect(cfg: RenderConfig, scene=None):
         cap = cfg.compact_cap if cfg.stream_compact else 0
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
-            backend=backend, t_max=t_max, cap=cap)
+            backend=backend, t_max=t_max, cap=cap,
+            rank_mode=cfg.compact_rank)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
@@ -187,28 +189,44 @@ def sorted_intersect(isect, scene, origin, direction, eps):
     return t, obj, tri
 
 
+# In-kernel NEE holds the light table in VMEM and one-hot-gathers the
+# picked row per lane; beyond this light count the [L, tile] pick
+# becomes the kernel's dominant cost and the jnp path wins.
+SHADE_NEE_MAX_LIGHTS = 512
+
+
 def resolve_shade_mode(cfg: RenderConfig, scene=None) -> str:
     """Pick the shading backend.  The fused Pallas kernel covers the
-    untextured, non-NEE, Heitz configuration (ops/pallas/shade.py);
-    everything else shades through the jnp oracle path."""
+    untextured Heitz configuration — including NEE (in-kernel light
+    sampling + shadow-ray setup, round 3) for scenes with at most
+    SHADE_NEE_MAX_LIGHTS emissive triangles; everything else shades
+    through the jnp oracle path."""
     mode = cfg.shade
     if mode == "auto":
         mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if mode in ("pallas", "shade_interpret") and scene is not None:
         if (scene.has_textures or not cfg.use_microfacet
-                or (cfg.nee and scene.num_lights > 0)):
+                or (cfg.nee and scene.num_lights > SHADE_NEE_MAX_LIGHTS)):
             mode = "jnp"
     return mode
 
 
 def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
                        mask, alive, seed, bounce, t, obj, tri, prev_pdf,
-                       interpret: bool):
+                       interpret: bool, isect=None):
     """Pack ray state component-major and run the fused shading kernel
     (ops/pallas/shade.py).  Same contract as the jnp tail of
-    shade_step."""
+    shade_step.
+
+    NEE configs (cfg.nee, lights present, isect given): the kernel
+    additionally samples the light, prepares the shadow query, and
+    returns the pending contribution; the shadow rays then go through
+    the SAME intersect backend with t_max (the any-hit analog) and the
+    contribution is added where visible — the only post-kernel work.
+    """
     from logipathtracer_tpu.ops.pallas import shade as ps
 
+    nee = bool(cfg.nee and scene.num_lights > 0 and isect is not None)
     r = origin.shape[0]
     safe_obj = jnp.maximum(obj, 0)
     safe_tri = jnp.maximum(tri, 0)
@@ -234,11 +252,15 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
 
     env = float(cfg.env_color)
     cfg_tuple = (env, env, env, float(cfg.eps), float(cfg.rr_threshold),
-                 int(cfg.rr_bounces), int(cfg.heitz_max_order))
+                 int(cfg.rr_bounces), int(cfg.heitz_max_order),
+                 bool(cfg.nee_mis), float(scene.total_light_area))
+    light_block = (ps.build_light_block(scene.light_tris, scene.light_cdf)
+                   if nee else None)
     out = ps.shade_pallas(rows, cfg_tuple,
                           rand_kind="parity" if cfg.parity_rng
                           else "threefry",
-                          tile=tile, interpret=interpret)[:, :r]
+                          tile=tile, interpret=interpret, nee=nee,
+                          light_block=light_block)[:, :r]
 
     bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     origin = out[ps.O_OX:ps.O_OZ + 1].T
@@ -247,7 +269,16 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     acc = out[ps.O_AR:ps.O_AB + 1].T
     seed = bi(out[ps.O_S0:ps.O_S1 + 1]).astype(jnp.uint32).T
     alive = bi(out[ps.O_ALIVE]) != 0
-    prev_pdf = out[ps.O_SKIP]  # passthrough (always 0: NEE shades jnp)
+    prev_pdf = out[ps.O_SKIP]
+    if nee:
+        shadow_o = out[ps.O_SOX:ps.O_SOZ + 1].T
+        shadow_d = out[ps.O_SDX:ps.O_SDZ + 1].T
+        t_lim = out[ps.O_TLIM]
+        contrib = out[ps.O_CR:ps.O_CB + 1].T
+        t_s, _, _ = isect(scene, shadow_o, shadow_d, eps=cfg.eps,
+                          t_max=t_lim)
+        visible = t_s >= t_lim
+        acc = acc + jnp.where(visible[:, None], contrib, 0.0)
     return origin, direction, acc, mask, alive, seed, prev_pdf
 
 
@@ -280,7 +311,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         return _shade_step_pallas(
             scene, cfg, origin, direction, acc, mask, alive, seed,
             bounce, t, obj, tri, prev_pdf,
-            interpret=(shade_mode == "shade_interpret"))
+            interpret=(shade_mode == "shade_interpret"), isect=isect)
 
     miss = alive & (t >= INF)
     # Reference assigns (not adds) mask*env on miss (:220-223).

@@ -156,3 +156,83 @@ def make_triangle_soup(n_tris: int = 400_000, seed: int = 0,
                      yfov=0.7)
     return Gltf(mesh_nodes=[node], cameras=[cam], materials=[mat],
                 textures=[], name=name)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def make_outside_scene(objects: int = 51, n_materials: int = 49,
+                       seed: int = 0, tri_budget: int = 400_000,
+                       name: str = "outside_proc") -> Gltf:
+    """Outside-class multi-object scene (BASELINE config 3 stand-in).
+
+    The reference's outside.gltf is 51 meshes / 399,949 triangles /
+    49 materials / 2 cameras (SURVEY.md §6) but its outside.bin is
+    absent from the snapshot, so large-scene benchmarks use this
+    procedural equivalent: a ground plane plus ~50 icosphere meshes of
+    mixed tessellation scattered over it, each with its OWN world
+    matrix (rotation + non-uniform scale — stressing the per-object
+    local-ray fills that scale O(objects) per tile in the sweep
+    kernels) and one of ``n_materials`` distinct PBR materials
+    (including a handful of emissives for the NEE path).  Triangle
+    count lands within ~2% of ``tri_budget``.
+    """
+    rng = np.random.default_rng(seed)
+    materials = [Material(name="ground", base_color_factor=np.array(
+        [0.45, 0.5, 0.4, 1], np.float32), metallic_factor=0.0,
+        roughness_factor=0.8)]
+    for i in range(1, n_materials):
+        emissive = (i % 17 == 3)  # a few area lights scattered around
+        materials.append(Material(
+            name=f"m{i}",
+            base_color_factor=np.append(
+                rng.uniform(0.15, 0.95, 3), 1).astype(np.float32),
+            emissive_factor=(rng.uniform(3, 9, 3).astype(np.float32)
+                             if emissive else np.zeros(3, np.float32)),
+            metallic_factor=float(rng.uniform(0, 1) > 0.7),
+            roughness_factor=float(rng.uniform(0.05, 0.9)),
+            transmission_factor=float(rng.uniform(0, 1) > 0.9),
+            ior=1.5))
+
+    extent = 30.0
+    ground, gn, guv = _quad((0.0, 0.0, 0.0), 2 * extent, 1)
+    nodes = [MeshNode(name="ground",
+                      world_matrix=np.eye(4, dtype=np.float32),
+                      primitives=[Primitive(ground, gn, guv, 0)])]
+
+    # Mixed tessellation: a deck of subdiv levels whose mean triangle
+    # count hits tri_budget / (objects - 1).
+    base = {s: _icosphere(s) for s in (3, 4, 5)}
+    counts = {s: base[s].shape[0] for s in base}  # 1280 / 5120 / 20480
+    n_mesh = objects - 1
+    per = tri_budget / n_mesh
+    # Solve a mix of subdiv 4 and 5 (pad with 3s if budget is tiny).
+    n5 = max(0, min(n_mesh, round(n_mesh * (per - counts[4])
+                                  / (counts[5] - counts[4]))))
+    levels = [5] * n5 + [4] * (n_mesh - n5)
+    rng.shuffle(levels)
+
+    for i, lvl in enumerate(levels):
+        sphere = base[lvl]
+        mat = 1 + i % (n_materials - 1)
+        sx, sy, sz = rng.uniform(0.6, 2.2, 3)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = _rot_y(rng.uniform(0, 2 * np.pi)) @ np.diag(
+            [sx, sy, sz]).astype(np.float32)
+        x, z = rng.uniform(-extent, extent, 2)
+        m[:3, 3] = (x, sy * (1.0 if rng.uniform() < 0.8
+                             else rng.uniform(1.5, 4.0)), z)
+        nodes.append(MeshNode(
+            name=f"rock{i}", world_matrix=m,
+            primitives=[Primitive(sphere, sphere.copy(), None, mat)]))
+
+    cams = [CameraNode(name="camera",
+                       world_matrix=_look_at((0, 9, extent * 1.45),
+                                             (0, 1, 0)), yfov=0.7),
+            CameraNode(name="camera_high",
+                       world_matrix=_look_at((extent, 22, extent),
+                                             (0, 0, 0)), yfov=0.6)]
+    return Gltf(mesh_nodes=nodes, cameras=cams, materials=materials,
+                textures=[], name=name)

@@ -235,14 +235,124 @@ def run_gather(tile=2048, cap=128, reps=45, grid=32):
 
 
 def main():
+    import sys
+    section = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("device:", jax.devices()[0], flush=True)
-    print("--- epilogue ablations (S=256, C=64, grid=32) ---", flush=True)
-    for T in (128, 256, 512):
-        run_epilogue(T)
-    print("--- gather/scatter formulations ---", flush=True)
-    run_gather(tile=2048, cap=128)
-    run_gather(tile=4096, cap=256)
+    if section in ("all", "epilogue"):
+        print("--- epilogue ablations (S=256, C=64, grid=32) ---",
+              flush=True)
+        for T in (128, 256, 512):
+            run_epilogue(T)
+    if section in ("all", "gather"):
+        print("--- gather/scatter formulations ---", flush=True)
+        run_gather(tile=2048, cap=128)
+    if section in ("all", "rank"):
+        print("--- rank + one-hot formulations ---", flush=True)
+        run_rank(tile=2048, cap=128)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Section C: rank + one-hot formulations (full per-fired-cluster cost)
+# ---------------------------------------------------------------------------
+
+def rank_kernel(hit_ref, feats_ref, out_ref, *, reps, tile, cap, variant):
+    """Per-fired-cluster compaction INCLUDING rank computation.
+
+    matmul_rank — round-2/3 production form: ident/ltri/gtri matmuls
+                  for rank_t [128, G], per-group one-hots concatenated
+                  to [tile, cap], K=tile gather/scatter matmuls.
+    roll_rank   — log-step roll prefix sums in the natural [G, 128]
+                  layout, flat rank row, transposed [cap, tile] one-hot
+                  (no per-group loops, no transpose matmuls).
+    """
+    g_n = tile // 128
+
+    if variant == "matmul_rank":
+        ident, ltri, gtri, ones_row = _prefix_consts_probe(g_n)
+        iota_cap = jax.lax.broadcasted_iota(
+            jnp.int32, (128, cap), 1).astype(jnp.float32)
+    else:
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 128), 1)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 1), 0)
+        iota_cap_t = jax.lax.broadcasted_iota(
+            jnp.int32, (cap, tile), 0).astype(jnp.float32)
+
+    def body(i, acc):
+        hit = hit_ref[i, :] > 0.5                       # [tile]
+        h2 = hit.astype(jnp.float32).reshape(g_n, 128)
+        if variant == "matmul_rank":
+            hit_t = _dotg(ident, h2, ((1,), (1,)))      # [128, G]
+            row_tot = _dotg(ones_row, hit_t, ((1,), (0,)))
+            n = jnp.sum(row_tot)
+            ro = _dotg(row_tot, gtri, ((1,), (0,)))
+            colex = _dotg(ltri, hit_t, ((1,), (0,)))
+            rank_t = colex + ro
+
+            def onehot(g):
+                return ((rank_t[:, g:g + 1] == iota_cap)
+                        & (hit_t[:, g:g + 1] > 0.5)).astype(jnp.float32)
+
+            p_all = jnp.concatenate([onehot(g) for g in range(g_n)],
+                                    axis=0)             # [tile, cap]
+            a = _dotg(feats_ref[...], p_all, ((1,), (0,)))  # [6, cap]
+            res = jnp.concatenate([a[0:3] * 0.5], axis=0)
+            outb = _dotg(res, p_all, ((1,), (1,)))      # [3, tile]
+        else:
+            inc = h2
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                inc = inc + jnp.where(lane_iota >= k,
+                                      pltpu.roll(inc, k, axis=1), 0.0)
+            colex = inc - h2                            # exclusive, per row
+            tot = inc[:, 127:128]                       # [G, 1]
+            ro = tot
+            for k in (1, 2, 4, 8):
+                ro_s = pltpu.roll(ro, k, axis=0)
+                ro = ro + jnp.where(sub_iota >= k, ro_s, 0.0)
+            ro = ro - tot                               # exclusive row offsets
+            rank = colex + ro                           # [G, 128]
+            rank_flat = rank.reshape(1, tile)
+            hit_flat = h2.reshape(1, tile)
+            p_t = ((rank_flat == iota_cap_t)
+                   & (hit_flat > 0.5)).astype(jnp.float32)  # [cap, tile]
+            a = _dotg(feats_ref[...], p_t, ((1,), (1,)))    # [6, cap]
+            res = jnp.concatenate([a[0:3] * 0.5], axis=0)
+            outb = _dotg(res, p_t, ((1,), (0,)))        # [3, tile]
+        return acc + outb[0:3, 0:128] * (1.0 / tile)
+
+    out_ref[...] = jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros((3, 128), jnp.float32))
+
+
+def _prefix_consts_probe(g_n):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ii == jj).astype(jnp.float32)
+    ltri = (ii > jj).astype(jnp.float32)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (g_n, g_n), 1)
+    gtri = (gi < gj).astype(jnp.float32)
+    ones_row = jnp.ones((1, 128), jnp.float32)
+    return ident, ltri, gtri, ones_row
+
+
+def run_rank(tile=2048, cap=128, reps=45, grid=32):
+    rng = np.random.default_rng(2)
+    hits = (rng.uniform(size=(reps, tile)) < 0.04).astype(np.float32)
+    feats = rng.normal(size=(6, tile)).astype(np.float32)
+    for variant in ("matmul_rank", "roll_rank"):
+        f = pl.pallas_call(
+            functools.partial(rank_kernel, reps=reps, tile=tile, cap=cap,
+                              variant=variant),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((reps, tile), lambda i: (0, 0)),
+                      pl.BlockSpec((6, tile), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((3, 128), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((3, 128), jnp.float32))
+        dt = _time(f, jnp.asarray(hits), jnp.asarray(feats))
+        per_fire = dt / (grid * reps) * 1e6
+        print(f"{variant:12s} tile={tile} cap={cap}: {dt*1e3:7.2f} ms "
+              f"({per_fire:6.2f} us/fired-cluster)", flush=True)
 if __name__ == "__main__":
     main()

@@ -35,3 +35,29 @@ def test_soup_scale_build():
         scene, cfg, jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
         jnp.asarray([5, 7], jnp.uint32)))
     assert np.isfinite(img).all()
+
+
+def test_outside_scene_profile_and_render():
+    """Outside-class stand-in matches the reference asset's profile
+    (51 meshes / 49 materials / ~400k tris / 2 cameras, SURVEY.md §6)
+    and a scaled-down build renders finite with lights present."""
+    from logipathtracer_tpu.scene.procedural import make_outside_scene
+
+    full = make_outside_scene()
+    assert len(full.mesh_nodes) == 51
+    assert len(full.materials) == 49
+    assert len(full.cameras) == 2
+    assert abs(full.triangle_count - 400_000) < 20_000
+
+    gltf = make_outside_scene(objects=12, n_materials=9, seed=3,
+                              tri_budget=26_000)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, intersect="bvh")
+    scene = compile_scene(gltf, cfg)
+    assert scene.num_objects == 12
+    assert scene.num_lights > 0  # emissive material mix present
+    cam = scene.cameras[0]
+    img = np.asarray(render_sample(
+        scene, cfg, jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+        jnp.asarray([3, 11], jnp.uint32)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0

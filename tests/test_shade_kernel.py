@@ -85,3 +85,46 @@ def test_shade_kernel_scalar_bounce(cornell_scene):
         out = shade_step(scene, cfg, origin, direction, acc, mask,
                          alive, seed, jnp.int32(4), t, obj, tri)
         assert np.isfinite(np.asarray(out[2])).all()
+
+
+@pytest.mark.parametrize("mis", [True, False])
+def test_shade_kernel_nee_matches_jnp(cornell_scene, mis):
+    """Round-3: the fused kernel covers NEE (in-kernel light sampling,
+    shadow setup, walk eval hook, MIS emission weighting).  Same RNG
+    streams and radiance as the jnp NEE path."""
+    scene = cornell_scene
+    n = 512
+    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
+    prev_pdf = jnp.asarray(
+        np.random.default_rng(11).random(n).astype(np.float32) * 0.3)
+    bounce = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
+    from logipathtracer_tpu.ops.traverse import intersect_scene
+
+    def isect(s, o, d, eps, t_max=None):
+        return intersect_scene(s, o, d, eps=eps, t_max=t_max)
+
+    outs = {}
+    for mode in ("jnp", "shade_interpret"):
+        cfg = cfg0.replace(shade=mode, nee=True, nee_mis=mis,
+                           shade_tile=256)
+        outs[mode] = shade_step(scene, cfg, origin, direction, acc, mask,
+                                alive, seed, bounce, t, obj, tri,
+                                prev_pdf=prev_pdf, isect=isect)
+
+    names = ("origin", "direction", "acc", "mask", "alive", "seed",
+             "prev_pdf")
+    ordered = {n_: (np.asarray(a), np.asarray(b)) for n_, a, b in zip(
+        names, outs["jnp"], outs["shade_interpret"])}
+    for name in ("seed", "alive"):
+        np.testing.assert_array_equal(*ordered[name], err_msg=name)
+    for name in ("origin", "direction", "acc", "mask", "prev_pdf"):
+        a, b = ordered[name]
+        close = np.isclose(a, b, rtol=2e-5, atol=2e-6)
+        assert close.mean() > 0.99, (
+            f"{name}: {(~close).mean():.2%} mismatched")
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4,
+                                   err_msg=name)
