@@ -62,6 +62,34 @@ def _dotg(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _split3(a):
+    """a (f32) -> [3K, ...] bf16 rows (hi/mid/lo stacked on the row
+    axis): successive bf16 roundings reconstruct every f32 exactly
+    (8+8+8 mantissa bits in disjoint exponent windows)."""
+    bh = a.astype(jnp.bfloat16)
+    r1 = a - bh.astype(jnp.float32)
+    bm = r1.astype(jnp.bfloat16)
+    bl = (r1 - bm.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([bh, bm, bl], axis=0)
+
+
+def _dot_onehot(a3, b16, k: int, dims):
+    """EXACT f32 selection matmul: ``a3`` = _split3 of [K, ...] f32
+    data, ``b16`` a 0/1 one-hot in bf16 — ONE DEFAULT-precision matmul
+    over the stacked 3K rows, then the 3-term reconstruction sum.
+
+    Each partial product against a 0/1 matrix is exact in the f32
+    accumulator (one nonzero per contraction), and the hi+mid+lo sum
+    is exact by the disjoint-window argument — so unlike the HIGHEST
+    path (6 bf16 passes) this has NO 1-ulp tail at half the MXU work.
+    """
+    out = jax.lax.dot_general(
+        a3, b16, dimension_numbers=(dims, ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    return out[0:k] + out[k:2 * k] + out[2 * k:3 * k]
+
+
 def _prefix_consts(g_n: int):
     """0/1 helper matrices for the in-kernel prefix sums (exact in any
     matmul precision)."""
@@ -151,16 +179,19 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
         k *= 2
     n = ro[g_n - 1, 0]
     ro = ro - tot                          # exclusive row offsets
-    rank_flat = (colex + ro).reshape(1, tile)
-    hit_flat = h2.reshape(1, tile)
+    # Fold the hit mask into the rank (-1 on non-hit lanes): the
+    # per-block one-hot then needs only ONE compare + bf16 cast over
+    # [cap, tile] instead of sub/cmp/and/cast.
+    rank_flat = jnp.where(h2 > 0.5, colex + ro, -1.0).reshape(1, tile)
     nb = jax.lax.convert_element_type(
         jnp.ceil(n * (1.0 / cap)), jnp.int32)
+    feats3 = _split3(feats6)               # [18, tile] bf16
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
-        p_t = ((rank_flat - basef == iota_cap_t)
-               & (hit_flat > 0.5)).astype(jnp.float32)   # [cap, tile]
-        acc = _dotg(feats6, p_t, ((1,), (1,)))           # [6, cap]
+        rank_sh = rank_flat - basef                      # [1, tile]
+        p_t = (rank_sh == iota_cap_t).astype(jnp.bfloat16)  # [cap, tile]
+        acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
         t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
                         acc[5], trib, eps, fast=fast)    # [cap, S]
         ok = t > eps
@@ -173,7 +204,7 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
             tmin[None, :],
             jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
             hitf.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
-        out_all = _dotg(res, p_t, ((1,), (0,)))          # [3, tile]
+        out_all = _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
         for g in range(g_n):
             sl = slice(g * 128, (g + 1) * 128)
             du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])

@@ -208,10 +208,10 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             pending = pending & ~flush
 
         # ---- regenerate free lanes with new work items -----------------
-        def regen(args):
-            (origin, direction, mask, acc, seed, alive, pending,
-             prev_pdf, bounce, pixid, next_work) = args
-            free = ~alive & ~pending
+        def regen_rows(sub, next_work):
+            """Regen math on any contiguous row package; ``sub`` is a
+            dict of state slices (full pool or the free-region slice)."""
+            free = ~sub["alive"] & ~sub["pending"]
             rank = jnp.cumsum(free.astype(jnp.int32)) - 1
             item = next_work + rank
             valid = free & (item < total)
@@ -225,26 +225,72 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
                 active=valid, rand=get_rand(cfg.parity_rng))
             vx = valid[:, None]
-            origin = jnp.where(vx, o_new, origin)
-            direction = jnp.where(vx, d_new, direction)
-            mask = jnp.where(vx, 1.0, mask)
-            acc = jnp.where(vx, 0.0, acc)
-            seed = jnp.where(vx, nseed, seed)
-            bounce = jnp.where(valid, 0, bounce)
-            pixid = jnp.where(valid, pixi, pixid)
-            alive = alive | valid
-            pending = pending | valid
-            prev_pdf = jnp.where(valid, 0.0, prev_pdf)
+            out = dict(
+                origin=jnp.where(vx, o_new, sub["origin"]),
+                direction=jnp.where(vx, d_new, sub["direction"]),
+                mask=jnp.where(vx, 1.0, sub["mask"]),
+                acc=jnp.where(vx, 0.0, sub["acc"]),
+                seed=jnp.where(vx, nseed, sub["seed"]),
+                bounce=jnp.where(valid, 0, sub["bounce"]),
+                pixid=jnp.where(valid, pixi, sub["pixid"]),
+                alive=sub["alive"] | valid,
+                pending=sub["pending"] | valid,
+                prev_pdf=jnp.where(valid, 0.0, sub["prev_pdf"]))
             next_work = jnp.minimum(
                 next_work + jnp.sum(free.astype(jnp.int32)), total)
-            return (origin, direction, mask, acc, seed, alive, pending,
-                    prev_pdf, bounce, pixid, next_work)
+            return out, next_work
+
+        _KEYS = ("origin", "direction", "mask", "acc", "seed", "alive",
+                 "pending", "prev_pdf", "bounce", "pixid")
+
+        def regen(args):
+            st = dict(zip(_KEYS, args[:10]))
+            next_work = args[10]
+            out, next_work = regen_rows(st, next_work)
+            return tuple(out[k] for k in _KEYS) + (next_work,)
+
+        # Post-sort, ALL free lanes are one contiguous region
+        # [n_alive, P): the sort orders alive < free < retired and the
+        # flush just freed the retired tail.  Steady-state regen then
+        # only needs a CAP-row window there instead of full-pool
+        # cumsum + selects (the 7 ms/Mray regen stage drops with the
+        # slice ratio); iterations with more free rows than the window
+        # (frame warmup) take the full-pool path via lax.cond.
+        regen_cap = min(p, max(p // 4, 1 << 15))
+
+        def regen_sliced(args):
+            st = dict(zip(_KEYS, args[:10]))
+            next_work = args[10]
+            n_alive = jnp.sum(st["alive"].astype(jnp.int32))
+            start = jnp.minimum(n_alive, p - regen_cap)
+            sub = {k: jax.lax.dynamic_slice_in_dim(st[k], start, regen_cap)
+                   for k in _KEYS}
+            out, next_work = regen_rows(sub, next_work)
+            st = {k: jax.lax.dynamic_update_slice_in_dim(
+                st[k], out[k], start, axis=0) for k in _KEYS}
+            return tuple(st[k] for k in _KEYS) + (next_work,)
 
         args = (origin, direction, mask, acc, seed, alive, pending,
                 prev_pdf, bounce, pixid, next_work)
-        if cfg.lazy_regen > 0:
-            free = ~alive & ~pending
-            n_free = jnp.sum(free.astype(jnp.int32))
+        free = ~alive & ~pending
+        n_free = jnp.sum(free.astype(jnp.int32))
+        # The contiguity argument above needs a sort+flush THIS
+        # iteration, so the sliced path is wired only for the
+        # every-iteration maintenance schedule (the default).
+        if cfg.sort_rays and cfg.sort_every <= 1 and regen_cap < p:
+            do_full = n_free > regen_cap
+            if cfg.lazy_regen > 0:
+                remaining = total - next_work
+                do_regen = ((n_free * cfg.lazy_regen >= p)
+                            | ((remaining > 0) & (remaining <= n_free)))
+                args = jax.lax.cond(
+                    do_regen & do_full, regen,
+                    lambda a: jax.lax.cond(do_regen, regen_sliced,
+                                           lambda b: b, a),
+                    args)
+            else:
+                args = jax.lax.cond(do_full, regen, regen_sliced, args)
+        elif cfg.lazy_regen > 0:
             remaining = total - next_work
             do_regen = ((n_free * cfg.lazy_regen >= p)
                         | ((remaining > 0) & (remaining <= n_free)))
