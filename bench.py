@@ -51,6 +51,24 @@ def _ray_query_mrays(scene, cfg) -> float:
     return n * h * w / (time.perf_counter() - t0) / 1e6
 
 
+def _scene_mrays(gltf, cfg, samples: int = 4, host_seed: int = 0):
+    """End-to-end Mrays/s of one progressive config (timed after one
+    warmup chunk of the same shape)."""
+    import time
+
+    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+    from logipathtracer_tpu.scene.compile import compile_scene
+
+    scene = compile_scene(gltf, cfg)
+    r = ProgressiveRenderer(scene, cfg, host_seed=host_seed)
+    r.step(samples)  # warmup (compile)
+    rays0 = r.total_rays
+    t0 = time.perf_counter()
+    r.step(samples)
+    wall = time.perf_counter() - t0
+    return (r.total_rays - rays0) / wall / 1e6
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -113,6 +131,31 @@ def main(argv=None) -> int:
     # number, no shading attached.
     rq_mrays = _ray_query_mrays(scene, cfg)
 
+    # Round-3 tracked extras (skipped by --quick):
+    #  * outside-class multi-object scene (BASELINE config 3 stand-in:
+    #    51 meshes / 49 materials / ~394k tris, streamed clusters),
+    #  * textured + NEE box (BASELINE config 5 stand-in) on the fused
+    #    shade kernel.
+    outside_mrays = nee_tex_mrays = None
+    if not args.quick:
+        from logipathtracer_tpu.scene.procedural import (make_box_scene,
+                                                         make_outside_scene)
+        try:
+            outside_mrays = round(_scene_mrays(
+                make_outside_scene(),
+                RenderConfig(width=512, height=512, max_depth=10),
+                samples=4), 3)
+        except Exception as e:  # record, don't sink the headline metric
+            outside_mrays = f"error: {e}"[:200]
+        try:
+            nee_tex_mrays = round(_scene_mrays(
+                make_box_scene(spheres=6, subdiv=3, textured=True),
+                RenderConfig(width=512, height=512, max_depth=10,
+                             nee=True),
+                samples=4), 3)
+        except Exception as e:
+            nee_tex_mrays = f"error: {e}"[:200]
+
     result = {
         "metric": "mrays_per_sec_chip_cornell",
         "value": round(mrays, 3),
@@ -120,6 +163,8 @@ def main(argv=None) -> int:
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "extras": {
             "ray_query_mrays_per_sec": round(rq_mrays, 1),
+            "outside_class_mrays_per_sec": outside_mrays,
+            "nee_textured_mrays_per_sec": nee_tex_mrays,
             "device": str(jax.devices()[0]),
             "resolution": f"{width}x{height}",
             "spp_timed": samples,

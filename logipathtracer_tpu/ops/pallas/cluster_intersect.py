@@ -304,11 +304,12 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 
-def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
-                   tris_ref, t_out, tri_out, obj_out, lray, best_t,
-                   best_tri, best_obj, *, num_objects: int, chunk: int,
-                   num_chunks: int, num_real: int, eps: float, tile: int,
-                   lanes: int, has_tmax: bool = False, fast: bool = True):
+def _stream_kernel(oct_ref, order_ref, meta_ref, inv_ref, chunk_aabb_ref,
+                   rays_ref, aabb_ref, tris_ref, t_out, tri_out, obj_out,
+                   lray, best_t, best_tri, best_obj, *, num_objects: int,
+                   chunk: int, num_chunks: int, num_real: int, eps: float,
+                   tile: int, lanes: int, has_tmax: bool = False,
+                   fast: bool = True):
     """HBM-streamed cluster sweep: grid (ray tiles, cluster chunks).
 
     The resident kernel holds every cluster triangle in VMEM; scenes
@@ -323,8 +324,16 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
     across the chunk dimension (classic K-reduction; outputs written at
     the last chunk step).  Cluster arrays are padded to a chunk
     multiple; padded slots are gated off by ``num_real`` (static).
+
+    Chunks stream FRONT-TO-BACK per ray-tile direction octant
+    (round 3): the scalar-prefetch pair (oct_ref [tiles], order_ref
+    [8, NC]) drives both the tris BlockSpec index map and the in-kernel
+    chunk id, so early chunks fill best_t and later chunks fail the
+    slab cull — the stream analog of the resident sweep's cl_order.
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    jc = order_ref[oct_ref[i], j]
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
     oz = rays_ref[2, :]
@@ -347,17 +356,17 @@ def _stream_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref, aabb_ref,
     # Chunk-level cull: union AABB of the chunk's clusters in WORLD
     # space, tested against the untransformed rays (conservative; t is
     # world-parameterized in both spaces, ops/traverse.py:36-48).
-    camin = (chunk_aabb_ref[0, j], chunk_aabb_ref[1, j],
-             chunk_aabb_ref[2, j])
-    camax = (chunk_aabb_ref[3, j], chunk_aabb_ref[4, j],
-             chunk_aabb_ref[5, j])
+    camin = (chunk_aabb_ref[0, jc], chunk_aabb_ref[1, jc],
+             chunk_aabb_ref[2, jc])
+    camax = (chunk_aabb_ref[3, jc], chunk_aabb_ref[4, jc],
+             chunk_aabb_ref[5, jc])
     bt_flat = best_t[:].reshape(tile)
     chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
 
     @pl.when(jnp.any(chunk_hit))
     def _():
         def cl_body(k, _):
-            c = j * chunk + k
+            c = jc * chunk + k
             obj = meta_ref[0, c]
             tri_base = meta_ref[1, c]
             lox = lray[obj, 0, :]
@@ -451,6 +460,24 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
     meta_t = cl_meta.T
     aabb_t = cl_aabb.T
 
+    # --- per-octant front-to-back chunk order + per-tile octant -------
+    # (scalar-prefetch pair: drives the tris BlockSpec index map so
+    # chunks STREAM in near-first order for each ray tile — best_t then
+    # culls the far chunks' cluster loops.  Padded-chunk centroids are
+    # non-finite and sort last.)
+    centroid = 0.5 * (chunk_min + chunk_max)              # [NC, 3]
+    signs = jnp.asarray([[1.0 if oc & 4 else -1.0,
+                          1.0 if oc & 2 else -1.0,
+                          1.0 if oc & 1 else -1.0] for oc in range(8)],
+                        jnp.float32)                      # [8, 3]
+    keys = jnp.where(jnp.isfinite(centroid).all(axis=1)[None, :],
+                     signs @ centroid.T, INF)             # [8, NC]
+    chunk_order = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    d0 = rays8[3:6, ::tile]                               # [3, tiles]
+    oct_tile = ((d0[0] > 0).astype(jnp.int32) * 4
+                + (d0[1] > 0).astype(jnp.int32) * 2
+                + (d0[2] > 0).astype(jnp.int32))          # [tiles]
+
     grid = (r // tile, num_chunks)
     if cap:
         from logipathtracer_tpu.ops.pallas.compact_intersect import \
@@ -466,31 +493,28 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
             lanes=lanes, has_tmax=has_tmax, fast=not interpret)
 
-    outs = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # (oct_tile, chunk_order)
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meta [2, Cp]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv [O, 12]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk_aabb [6, NC]
-            pl.BlockSpec((8, tile), lambda i, j: (0, i),
+            pl.BlockSpec((8, tile), lambda i, j, ot, co: (0, i),
                          memory_space=pltpu.VMEM),   # rays
             pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [8, Cp]
-            pl.BlockSpec((chunk, 9, lanes), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),   # tris (streamed)
+            pl.BlockSpec((chunk, 9, lanes),
+                         lambda i, j, ot, co: (co[ot[i], j], 0, 0),
+                         memory_space=pltpu.VMEM),   # tris (streamed
+                                                     # front-to-back)
         ],
         out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((o, 9, tile), jnp.float32),        # local rays + 1/d
@@ -498,8 +522,18 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
             pltpu.VMEM((sub, 128), jnp.int32),            # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),            # best_obj
         ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+        ],
         interpret=interpret,
-    )(meta_t, cl_inv, chunk_aabb_t, rays8, aabb_t, cl_tris)
+    )(oct_tile, chunk_order, meta_t, cl_inv, chunk_aabb_t, rays8, aabb_t,
+      cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 

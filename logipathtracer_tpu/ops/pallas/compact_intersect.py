@@ -13,20 +13,26 @@ notes): for each fired cluster it compacts exactly the rays whose slab
 test passed into dense CAP-lane blocks using one-hot matmuls on the
 (otherwise idle) MXU:
 
-    rank = exclusive prefix-sum of the hit mask     (two 0/1 matmuls)
-    P    = onehot(rank) & hit                       [128, CAP] per group
-    rays'= feats @ P                                (gather  — MXU)
-    t'   = Möller-Trumbore(rays', cluster)          [CAP, S]  (VPU)
-    out  = results @ P^T                            (scatter — MXU)
+    rank = exclusive prefix-sum of the hit mask  (roll log-steps, [G,128])
+    P    = onehot(rank folded with hit)          [CAP, TILE] bf16
+    rays'= split3(feats) @ P                     (gather  — ONE matmul)
+    t'   = Möller-Trumbore(rays', cluster)       [CAP, S] (VPU, fast recip)
+    out  = split3(results) @ P^T                 (scatter — ONE matmul)
 
-One-hot f32 matmuls at precision=HIGHEST are near-bit-exact selections
-on v5e: measured exact for all but ~3e-5 of values, where the bf16x3
-decomposition rounds the reconstruction by 1 ulp (CLAUDE.md).  The
-sweep structure is otherwise identical to cluster_intersect_pallas
-(same front-to-back cluster order, strict-< acceptance, min-slot
-tie-break), so results match it everywhere except that rare-ulp tail,
-where a coplanar near-tie may resolve to the other triangle (observed
-32/1M rays on cornell; scripts/compact_probe.py).
+Round-3 form (scripts/epilogue_probe.py + compact_probe.py measured it
+at 2.1x the round-2 kernel): the one-hot matmuls run at DEFAULT
+precision over hi/mid/lo bf16 splits of the f32 data — an EXACT
+selection (disjoint exponent windows; no 1-ulp tail, unlike the
+round-2 HIGHEST path) at half the MXU passes — and the rank comes from
+log-step roll prefix sums instead of transpose matmuls (rank_mode
+switches back to the round-2 'matmul' form).  The MT's 1/det uses the
+VPU approx reciprocal + one Newton step on hardware (exact divide in
+interpret mode, so CPU tests stay bitwise vs the jnp twin).  The sweep
+structure is otherwise identical to cluster_intersect_pallas (same
+front-to-back cluster order, strict-< acceptance, min-slot tie-break);
+vs the sub-tile sweep, results differ only on coplanar near-ties where
+the fast-reciprocal 1-ulp t noise flips the winner (observed 36/1M
+rays on cornell; scripts/compact_probe.py).
 
 Semantics match ops/traverse.intersect_scene (closest hit, t > eps).
 Reference analog: the per-ray BVH traversal of
@@ -378,7 +384,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     obj_out[0] = best_obj[:]
 
 
-def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
+def _stream_compact_kernel(oct_ref, order_ref, meta_ref, inv_ref,
+                           chunk_aabb_ref, rays_ref,
                            aabb_ref, tris_ref, t_out, tri_out, obj_out,
                            lray, best_t, best_tri, best_obj, *,
                            num_objects: int, chunk: int, num_chunks: int,
@@ -387,9 +394,12 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
                            fast: bool = True, rank_mode: str = "roll"):
     """HBM-streamed variant: grid (ray tiles, cluster chunks), cluster
     blocks double-buffered from HBM (see cluster_intersect.py::
-    _stream_kernel for the streaming structure) with the compacted MT
-    update per fired cluster."""
+    _stream_kernel for the streaming structure, incl. the front-to-back
+    scalar-prefetch chunk order) with the compacted MT update per
+    fired cluster."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    jc = order_ref[oct_ref[i], j]
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
     oz = rays_ref[2, :]
@@ -411,17 +421,17 @@ def _stream_compact_kernel(meta_ref, inv_ref, chunk_aabb_ref, rays_ref,
     consts = (_roll_prefix_consts(g_n, cap, tile) if rank_mode == "roll"
               else _prefix_consts(g_n))
 
-    camin = (chunk_aabb_ref[0, j], chunk_aabb_ref[1, j],
-             chunk_aabb_ref[2, j])
-    camax = (chunk_aabb_ref[3, j], chunk_aabb_ref[4, j],
-             chunk_aabb_ref[5, j])
+    camin = (chunk_aabb_ref[0, jc], chunk_aabb_ref[1, jc],
+             chunk_aabb_ref[2, jc])
+    camax = (chunk_aabb_ref[3, jc], chunk_aabb_ref[4, jc],
+             chunk_aabb_ref[5, jc])
     bt_flat = best_t[:].reshape(tile)
     chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
 
     @pl.when(jnp.any(chunk_hit))
     def _():
         def cl_body(k, _):
-            c = j * chunk + k
+            c = jc * chunk + k
             obj = meta_ref[0, c]
             tri_base = meta_ref[1, c]
             lox = lray[obj, 0, :]

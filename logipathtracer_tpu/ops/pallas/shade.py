@@ -11,10 +11,15 @@ at a few percent of VPU peak — op dispatch overhead dominates.  Fusing
 the whole thing into one Pallas kernel with component-major [K, TILE]
 blocks keeps every intermediate in registers/VMEM.
 
-Semantics are bit-identical to render/megakernel.shade_step with
-has_textures=False, nee=False, use_microfacet=True (the jnp path stays
-the oracle and handles textured/NEE/basic configurations).  RNG draw
-order matches exactly (parity hash or Threefry, per config).
+Semantics are bit-identical to render/megakernel.shade_step for the
+Heitz (use_microfacet) configurations — including NEE (nee=True:
+in-kernel light pick + shadow-query setup + the walk's stochastic eval
+hook; round 3) and textured scenes (tex mode: the XLA prologue
+resolves texture taps into the material slots and passes the mapped
+normal, since per-lane atlas gathers are the one thing the kernel
+cannot do).  The jnp path stays the oracle and still covers the basic
+BSDF and >512-light NEE.  RNG draw order matches exactly (parity hash
+or Threefry, per config).
 
 Reference hot loop: shaders/heitz/BSDF.glsl:108-275;
 shading: shaders/path_tracing.comp:219-323.
@@ -51,6 +56,13 @@ I_BOUNCE = 17                # i32 bits
 I_TSH = 18                   # 32 rows of tri_shade
 I_OSH = 50                   # 32 rows of obj_shade
 IN_K = 82
+# Textured configs (tex=True) append the material-resolution prologue's
+# normal-map output (render/megakernel.py::_shade_step_pallas computes
+# texture taps in XLA and overwrites the obj_shade material slots; the
+# mapped shading normal cannot ride a slot, so it gets its own rows).
+I_FFX, I_FFY, I_FFZ = 82, 83, 84   # mapped front-face normal
+I_FFLAG = 85                       # 1.0 where a normal map applied
+IN_K_TEX = 86
 
 # --- output row indices ------------------------------------------------
 O_OX, O_OY, O_OZ = 0, 1, 2
@@ -142,7 +154,7 @@ def _dot(ax, ay, az, bx, by, bz):
 
 
 def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
-            nee: bool = False):
+            nee: bool = False, tex: bool = False):
     if nee:
         lights_ref, out_ref = rest
     else:
@@ -188,11 +200,11 @@ def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
     @pl.when(tile_live)
     def _():
         _shade_tile(in_ref, lights_ref, out_ref, cfg_tuple=cfg_tuple,
-                    rand_kind=rand_kind, tile=tile, nee=nee)
+                    rand_kind=rand_kind, tile=tile, nee=nee, tex=tex)
 
 
 def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
-                tile: int, nee: bool = False):
+                tile: int, nee: bool = False, tex: bool = False):
     (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order,
      nee_mis, total_area) = cfg_tuple
     rand = _rand_parity if rand_kind == "parity" else _rand_threefry
@@ -228,7 +240,10 @@ def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
     base_r, base_g, base_b = osh(21), osh(22), osh(23)
     em_r, em_g, em_b = osh(25), osh(26), osh(27)
     metallic = osh(28)
-    roughness = jnp.maximum(osh(29), 0.001)
+    # Textured configs: the prologue already applied the jnp sequence
+    # (floor THEN texture multiply) to the roughness slot — do not
+    # re-floor (render/megakernel.py shade_step:317,361).
+    roughness = osh(29) if tex else jnp.maximum(osh(29), 0.001)
     transmission = osh(30)
     ior = osh(31)
 
@@ -303,6 +318,15 @@ def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
     ffx = jnp.where(flip, -nx, nx)
     ffy = jnp.where(flip, -ny, ny)
     ffz = jnp.where(flip, -nz, nz)
+    if tex:
+        # Normal-mapped shading normal from the prologue (mapped in the
+        # PRE-map tangent basis, matching the jnp path); the tangent
+        # basis below then rebuilds about the mapped normal.  `outside`
+        # keeps the unmapped geometric n (jnp parity).
+        nm = i(I_FFLAG) != 0
+        ffx = jnp.where(nm, f(I_FFX), ffx)
+        ffy = jnp.where(nm, f(I_FFY), ffy)
+        ffz = jnp.where(nm, f(I_FFZ), ffz)
 
     # ---- emission pre-BSDF with pre-bounce mask (:269).  With NEE+MIS
     # the emission found by a BSDF ray from a light-sampled diffuse
@@ -711,11 +735,13 @@ def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
     Returns [OUT_K or OUT_K_NEE, R] f32.
     """
     k, r = state_rows.shape
-    assert k == IN_K and r % tile == 0
+    tex = k == IN_K_TEX
+    assert k in (IN_K, IN_K_TEX) and r % tile == 0
     out_k = OUT_K_NEE if nee else OUT_K
     kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
-                               rand_kind=rand_kind, tile=tile, nee=nee)
-    in_specs = [pl.BlockSpec((IN_K, tile), lambda g: (0, g),
+                               rand_kind=rand_kind, tile=tile, nee=nee,
+                               tex=tex)
+    in_specs = [pl.BlockSpec((k, tile), lambda g: (0, g),
                              memory_space=pltpu.VMEM)]
     args = [state_rows]
     if nee:

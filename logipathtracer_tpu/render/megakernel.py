@@ -205,10 +205,104 @@ def resolve_shade_mode(cfg: RenderConfig, scene=None) -> str:
     if mode == "auto":
         mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if mode in ("pallas", "shade_interpret") and scene is not None:
-        if (scene.has_textures or not cfg.use_microfacet
+        if (not cfg.use_microfacet
                 or (cfg.nee and scene.num_lights > SHADE_NEE_MAX_LIGHTS)):
             mode = "jnp"
     return mode
+
+
+def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
+                          safe_obj, oshade, tshade):
+    """Texture taps for the fused shade kernel, in XLA (the gathers the
+    kernel cannot do), mirroring shade_step's jnp sequence exactly:
+    material factors multiply in texture order (base, emissive,
+    metallic-roughness, transmission), the roughness floor applies
+    BEFORE the texture multiply, and the normal map rotates about the
+    PRE-map tangent basis.  Returns (oshade with the material slots
+    overwritten, mapped front-face normal [R, 3], has-normal-map [R])."""
+    world3 = oshade[:, 0:9].reshape(-1, 3, 3)
+    inv34 = oshade[:, 9:21].reshape(-1, 3, 4)
+    o_loc = transform_point(inv34, origin)
+    d_loc = transform_dir(inv34, direction)
+    pos_loc = o_loc + t[:, None] * d_loc
+    v0 = tshade[:, 15:18]
+    v1 = tshade[:, 18:21]
+    v2 = tshade[:, 21:24]
+    bary = barycentric(pos_loc, v0, v1, v2)
+    uv = (bary[:, 0:1] * tshade[:, 9:11]
+          + bary[:, 1:2] * tshade[:, 11:13]
+          + bary[:, 2:3] * tshade[:, 13:15])
+
+    base_color = oshade[:, 21:25]
+    emission = oshade[:, 25:28]
+    mrti = oshade[:, 28:32]
+    metallic = mrti[:, 0]
+    roughness = jnp.maximum(mrti[:, 1], 0.001)
+    transmission = mrti[:, 2]
+
+    tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
+    if scene.mip_levels > 1:
+        from logipathtracer_tpu.ops.texture import sample_atlas_lod
+        scale = jnp.sqrt(jnp.maximum(
+            jnp.sum(world3[:, :, 0] ** 2, axis=-1), 1e-20))
+        density_w = tshade[:, 24] / scale
+
+    def tap(slot):
+        tid = tex[:, slot]
+        if scene.mip_levels > 1:
+            base = jnp.take(scene.tex_mip_base, jnp.maximum(tid, 0),
+                            axis=0)
+            e0 = jnp.take(scene.tex_table, base, axis=0)
+            dim = jnp.maximum(e0[:, 2], e0[:, 3]).astype(jnp.float32)
+            footprint = cfg.mip_spread * t * density_w * dim
+            lod = jnp.log2(jnp.maximum(footprint, 1.0))
+            s = sample_atlas_lod(
+                scene.tex_atlas, scene.tex_table, scene.tex_mip_base,
+                scene.tex_mip_count, tid, uv, lod)
+        else:
+            s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
+        return (tid >= 0), s
+
+    has_c, c = tap(0)
+    base_color = jnp.where(has_c[:, None], base_color * c, base_color)
+    has_e, e = tap(1)
+    emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
+    has_mr, mr = tap(2)
+    metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+    roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
+    has_t, tt = tap(3)
+    transmission = jnp.where(has_t, transmission * tt[:, 0], transmission)
+
+    # Normal map about the pre-map basis (shade_step:412-424).
+    n_loc = (bary[:, 0:1] * tshade[:, 0:3]
+             + bary[:, 1:2] * tshade[:, 3:6]
+             + bary[:, 2:3] * tshade[:, 6:9])
+    n = transform_dir(world3, n_loc)
+    n = n / jnp.sqrt(jnp.maximum(
+        jnp.sum(n * n, axis=-1, keepdims=True), 1e-38))
+    ndotd = jnp.sum(n * direction, axis=-1)
+    ff = jnp.where((ndotd < 0.0)[:, None], n, -n)
+    pick_y = jnp.abs(ff[:, 0]) > 0.1
+    axis = jnp.where(pick_y[:, None], jnp.array([0.0, 1.0, 0.0]),
+                     jnp.array([1.0, 0.0, 0.0]))
+    u = jnp.cross(axis, ff)
+    u = u / jnp.sqrt(jnp.maximum(
+        jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
+    v = jnp.cross(ff, u)
+    has_n, nmap = tap(4)
+    tn = nmap[:, :3] * 2.0 - 1.0
+    tn = tn / jnp.sqrt(jnp.maximum(
+        jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
+    ff_mapped = tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff
+    ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
+        jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True), 1e-38))
+
+    oshade = oshade.at[:, 21:25].set(base_color)
+    oshade = oshade.at[:, 25:28].set(emission)
+    oshade = oshade.at[:, 28].set(metallic)
+    oshade = oshade.at[:, 29].set(roughness)
+    oshade = oshade.at[:, 30].set(transmission)
+    return oshade, ff_mapped, has_n
 
 
 def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
@@ -235,6 +329,11 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     bounce_v = jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (r,))
 
     bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    extra = []
+    if scene.has_textures:
+        oshade, ff_mapped, has_n = _resolve_tex_prologue(
+            scene, cfg, origin, direction, t, safe_obj, oshade, tshade)
+        extra = [ff_mapped.T, bf(has_n.astype(jnp.int32))[None, :]]
     rows = jnp.concatenate([
         origin.T, direction.T, mask.T, acc.T, t[None, :],
         bf(seed.astype(jnp.int32)).T,
@@ -242,7 +341,7 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
         prev_pdf[None, :],
         bf(bounce_v)[None, :],
         tshade.T, oshade.T,
-    ], axis=0)  # [IN_K, R]
+    ] + extra, axis=0)  # [IN_K or IN_K_TEX, R]
 
     tile = min(cfg.shade_tile, r)
     rp = ((r + tile - 1) // tile) * tile

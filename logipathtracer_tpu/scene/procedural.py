@@ -76,18 +76,32 @@ def _icosphere(subdiv: int = 2):
 
 
 def make_box_scene(spheres: int = 8, subdiv: int = 3,
-                   seed: int = 0, name: str = "procedural_box") -> Gltf:
+                   seed: int = 0, name: str = "procedural_box",
+                   textured: bool = False) -> Gltf:
     """A cornell-style box with randomly placed PBR icospheres —
-    the large-triangle-count stress stand-in for outside.gltf."""
+    the large-triangle-count stress stand-in for outside.gltf.
+
+    textured=True puts a checker base-color texture on the box walls —
+    with nee=True this is the BASELINE config-5 (textured + NEE
+    path-tracing) stand-in.
+    """
     rng = np.random.default_rng(seed)
     materials = [
         Material(name="white", base_color_factor=np.array(
             [0.8, 0.8, 0.8, 1], np.float32), metallic_factor=0.0,
-            roughness_factor=0.3),
+            roughness_factor=0.3,
+            base_color_texture=0 if textured else -1),
         Material(name="light", emissive_factor=np.array(
             [8, 8, 8], np.float32), metallic_factor=0.0,
             roughness_factor=1.0),
     ]
+    textures = []
+    if textured:
+        from logipathtracer_tpu.scene.gltf import TextureData
+        checker = np.full((16, 16, 4), 255, np.uint8)
+        checker[::2, ::2, :3] = (190, 160, 120)
+        checker[1::2, 1::2, :3] = (120, 150, 190)
+        textures.append(TextureData(pixels=checker))
     nodes = []
 
     def add_quad(nm, center, size, axis, mat):
@@ -130,7 +144,7 @@ def make_box_scene(spheres: int = 8, subdiv: int = 3,
                      world_matrix=_look_at((0, 0.3, 5.4), (0, 0, 0)),
                      yfov=0.8)
     return Gltf(mesh_nodes=nodes, cameras=[cam], materials=materials,
-                textures=[], name=name)
+                textures=textures, name=name)
 
 
 def make_triangle_soup(n_tris: int = 400_000, seed: int = 0,

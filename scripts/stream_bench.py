@@ -27,11 +27,13 @@ from logipathtracer_tpu.render.megakernel import (pick_intersect,
                                                   resolve_intersect_mode,
                                                   sorted_intersect)
 from logipathtracer_tpu.scene.compile import compile_scene
-from logipathtracer_tpu.scene.procedural import make_triangle_soup
+from logipathtracer_tpu.scene.procedural import (make_outside_scene,
+                                                 make_triangle_soup)
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="soup", choices=["soup", "outside"])
     ap.add_argument("--tris", type=int, default=400_000)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--spp", type=int, default=2)
@@ -44,7 +46,9 @@ def main():
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        stream_tile=args.tile, stream_chunk=args.chunk)
     t0 = time.perf_counter()
-    scene = compile_scene(make_triangle_soup(args.tris), cfg)
+    gltf = (make_outside_scene(tri_budget=args.tris)
+            if args.scene == "outside" else make_triangle_soup(args.tris))
+    scene = compile_scene(gltf, cfg)
     print(f"scene compile: {time.perf_counter() - t0:.1f}s  "
           f"clusters={scene.cl_tris.shape[0]}  "
           f"cl_tris={scene.cl_tris.nbytes / 2**20:.1f} MB  "

@@ -128,3 +128,77 @@ def test_shade_kernel_nee_matches_jnp(cornell_scene, mis):
             f"{name}: {(~close).mean():.2%} mismatched")
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4,
                                    err_msg=name)
+
+
+def test_shade_kernel_textured_matches_jnp():
+    """Round-3: textured configs run the fused kernel with an XLA
+    texture-resolution prologue (base/emissive/metallic-roughness/
+    transmission taps + normal map).  Identical RNG streams and
+    matching radiance vs the jnp path."""
+    import numpy as np
+
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.gltf import (CameraNode, Gltf, Material,
+                                               MeshNode, Primitive,
+                                               TextureData)
+    from logipathtracer_tpu.scene.procedural import _look_at, _quad
+
+    rng = np.random.default_rng(0)
+    checker = np.zeros((8, 8, 4), np.uint8)
+    checker[..., 3] = 255
+    checker[::2, ::2, 0] = 255
+    checker[1::2, 1::2, 2] = 255
+    # Mid-grey-biased random normal map (z-heavy, valid directions).
+    nm = np.stack([rng.integers(96, 160, (8, 8)),
+                   rng.integers(96, 160, (8, 8)),
+                   rng.integers(200, 256, (8, 8)),
+                   np.full((8, 8), 255)], axis=-1).astype(np.uint8)
+    mr_tex = np.zeros((4, 4, 4), np.uint8)
+    mr_tex[..., 1] = 180  # roughness channel
+    mr_tex[..., 2] = 90   # metallic channel
+    mr_tex[..., 3] = 255
+
+    tris, nrm, uvs = _quad((0, 0, 0), 2.0, 2)
+    mats = [Material(name="tex", base_color_factor=np.ones(4, np.float32),
+                     metallic_factor=0.4, roughness_factor=0.5,
+                     base_color_texture=0, normal_texture=1,
+                     metallic_roughness_texture=2)]
+    node = MeshNode(name="quad", world_matrix=np.eye(4, dtype=np.float32),
+                    primitives=[Primitive(tris, nrm, uvs, 0)])
+    cam = CameraNode(name="cam",
+                     world_matrix=_look_at((0.3, 0.2, 3), (0, 0, 0)),
+                     yfov=0.9)
+    gltf = Gltf(mesh_nodes=[node], cameras=[cam], materials=mats,
+                textures=[TextureData(pixels=checker),
+                          TextureData(pixels=nm),
+                          TextureData(pixels=mr_tex)],
+                name="textured_quad")
+    scene = compile_scene(gltf, RenderConfig(width=32, height=32))
+    assert scene.has_textures
+
+    n = 512
+    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
+    bounce = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
+
+    outs = {}
+    for mode in ("jnp", "shade_interpret"):
+        cfg = cfg0.replace(shade=mode, shade_tile=256)
+        outs[mode] = shade_step(scene, cfg, origin, direction, acc, mask,
+                                alive, seed, bounce, t, obj, tri)
+    names = ("origin", "direction", "acc", "mask", "alive", "seed",
+             "prev_pdf")
+    ordered = {n_: (np.asarray(a), np.asarray(b)) for n_, a, b in zip(
+        names, outs["jnp"], outs["shade_interpret"])}
+    for name in ("seed", "alive"):
+        np.testing.assert_array_equal(*ordered[name], err_msg=name)
+    for name in ("origin", "direction", "acc", "mask"):
+        a, b = ordered[name]
+        close = np.isclose(a, b, rtol=2e-5, atol=2e-6)
+        assert close.mean() > 0.99, (
+            f"{name}: {(~close).mean():.2%} mismatched")
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4,
+                                   err_msg=name)
