@@ -63,27 +63,55 @@ def _bilinear(atlas, entry, uv):
     return top * (1 - ay) + bot * ay
 
 
-def sample_atlas(atlas, table, tex_id, uv):
-    """Bilinear LOD-0 texture fetch (reference behavior — it samples at
-    implicit LOD 0 from compute, path_tracing.comp:244-261).
+def _nearest(atlas, entry, uv):
+    """GL NEAREST fetch: texel at floor(uv * size), wrapped."""
+    x0, y0 = entry[..., 0], entry[..., 1]
+    w, h = entry[..., 2], entry[..., 3]
+    ws, wt = entry[..., 4], entry[..., 5]
+    ix = jnp.floor(uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
+    iy = jnp.floor(uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32)
+    px = _wrap(ix, w, ws) + x0
+    py = _wrap(iy, h, wt) + y0
+    aw = atlas.shape[1]
+    return jnp.take(atlas.reshape(-1, 4), py * aw + px, axis=0)
+
+
+def _filtered(atlas, entry, uv, flag_col: int, nearest_aware: bool):
+    if not nearest_aware:
+        return _bilinear(atlas, entry, uv)
+    nf = entry[..., flag_col] == 1
+    return jnp.where(nf[..., None], _nearest(atlas, entry, uv),
+                     _bilinear(atlas, entry, uv))
+
+
+def sample_atlas(atlas, table, tex_id, uv, nearest_aware: bool = False):
+    """LOD-0 texture fetch (reference behavior — it samples at implicit
+    LOD 0 from compute, path_tracing.comp:244-261): bilinear, or GL
+    NEAREST for samplers with magFilter NEAREST when ``nearest_aware``
+    (static; scene.has_nearest — keeps all-linear scenes on the
+    4-gather path).
 
     atlas:  [AH, AW, 4] f32.
-    table:  [NE, 6] i32 (x, y, w, h, wrap_s, wrap_t).
+    table:  [NE, 8] i32 (x, y, w, h, wrap_s, wrap_t, mag_nearest,
+            min_nearest).
     tex_id: [...] int32 table-entry index (callers mask out id < 0
             themselves; with mips, pass the texture's mip_base).
     uv:     [..., 2] f32.
     Returns [..., 4] f32.
     """
     safe_id = jnp.maximum(tex_id, 0)
-    entry = jnp.take(table, safe_id, axis=0)  # [..., 6]
-    return _bilinear(atlas, entry, uv)
+    entry = jnp.take(table, safe_id, axis=0)  # [..., 8]
+    return _filtered(atlas, entry, uv, 6, nearest_aware)
 
 
-def sample_atlas_lod(atlas, table, mip_base, mip_count, tex_id, uv, lod):
+def sample_atlas_lod(atlas, table, mip_base, mip_count, tex_id, uv, lod,
+                     nearest_aware: bool = False):
     """Trilinear fetch (beyond the reference; cfg.mip_levels > 1).
 
     mip_base/mip_count: [NT] i32 per-texture chain location in table.
     lod: [...] f32 mip level (0 = full res); clamped per texture.
+    nearest_aware honors sampler filters: level-0 taps use the
+    magFilter flag, higher levels the minFilter within-level flag.
     """
     safe_id = jnp.maximum(tex_id, 0)
     base = jnp.take(mip_base, safe_id, axis=0)
@@ -93,6 +121,16 @@ def sample_atlas_lod(atlas, table, mip_base, mip_count, tex_id, uv, lod):
     frac = (l - l0)[..., None]
     l0 = l0.astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, cnt - 1)
-    c0 = _bilinear(atlas, jnp.take(table, base + l0, axis=0), uv)
-    c1 = _bilinear(atlas, jnp.take(table, base + l1, axis=0), uv)
+    e0 = jnp.take(table, base + l0, axis=0)
+    e1 = jnp.take(table, base + l1, axis=0)
+    if nearest_aware:
+        n0 = jnp.where(l0 == 0, e0[..., 6], e0[..., 7]) == 1
+        c0 = jnp.where(n0[..., None], _nearest(atlas, e0, uv),
+                       _bilinear(atlas, e0, uv))
+        n1 = e1[..., 7] == 1
+        c1 = jnp.where(n1[..., None], _nearest(atlas, e1, uv),
+                       _bilinear(atlas, e1, uv))
+    else:
+        c0 = _bilinear(atlas, e0, uv)
+        c1 = _bilinear(atlas, e1, uv)
     return c0 * (1.0 - frac) + c1 * frac

@@ -258,9 +258,11 @@ def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
             lod = jnp.log2(jnp.maximum(footprint, 1.0))
             s = sample_atlas_lod(
                 scene.tex_atlas, scene.tex_table, scene.tex_mip_base,
-                scene.tex_mip_count, tid, uv, lod)
+                scene.tex_mip_count, tid, uv, lod,
+                nearest_aware=scene.has_nearest)
         else:
-            s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv)
+            s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv,
+                             nearest_aware=scene.has_nearest)
         return (tid >= 0), s
 
     has_c, c = tap(0)

@@ -314,6 +314,10 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         leaf_width=int((fused_meta[fused_meta[:, 0] == 1][:, 2]
                         - fused_meta[fused_meta[:, 0] == 1][:, 1]).max()),
         has_textures=bool(gltf.textures),
+        has_nearest=any(
+            getattr(t, "mag_filter", 9729) == 9728
+            or getattr(t, "min_filter", 9729) in (9728, 9984, 9986)
+            for t in gltf.textures),
         mip_levels=max(int(cfg.mip_levels), 1),
         cameras=cameras,
         name=gltf.name,
@@ -459,20 +463,26 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
     mip_levels = max(int(mip_levels), 1)
     if not gltf.textures:
         atlas = np.ones((1, 8, 4), np.float32)
-        table = np.zeros((1, 6), np.int32)
-        table[0] = (0, 0, 1, 1, 10497, 10497)
+        table = np.zeros((1, 8), np.int32)
+        table[0] = (0, 0, 1, 1, 10497, 10497, 0, 0)
         return (atlas, table, np.zeros(1, np.int32), np.ones(1, np.int32))
 
-    # Per-texture mip chains (level 0 = the source image).
-    entries = []  # (pixels_f32, wrap_s, wrap_t)
+    # Per-texture mip chains (level 0 = the source image).  Filter
+    # flags (glTF sampler magFilter/minFilter — the reference honors
+    # them via Vulkan sampler state, src/PTSceneConverter.cpp:335-386):
+    # col 6 = NEAREST magnification, col 7 = NEAREST within-level
+    # minification (NEAREST / NEAREST_MIPMAP_*).
+    entries = []  # (pixels_f32, wrap_s, wrap_t, mag_nearest, min_nearest)
     mip_base = np.zeros(len(gltf.textures), np.int32)
     mip_count = np.zeros(len(gltf.textures), np.int32)
     for i, t in enumerate(gltf.textures):
         mip_base[i] = len(entries)
         img = t.pixels.astype(np.float32) / 255.0
+        mag_n = int(getattr(t, "mag_filter", 9729) == 9728)
+        min_n = int(getattr(t, "min_filter", 9729) in (9728, 9984, 9986))
         levels = 0
         while True:
-            entries.append((img, t.wrap_s, t.wrap_t))
+            entries.append((img, t.wrap_s, t.wrap_t, mag_n, min_n))
             levels += 1
             h, w = img.shape[:2]
             if levels >= mip_levels or (h < 2 and w < 2):
@@ -488,7 +498,7 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
     shelf_y = 0
     shelf_h = 0
     coords = []
-    for img, _, _ in entries:
+    for img, *_ in entries:
         h, w = img.shape[:2]
         if shelf_x + w > max_w:
             shelf_y += shelf_h
@@ -499,9 +509,10 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
         shelf_h = max(shelf_h, h)
     total_h = shelf_y + shelf_h
     atlas = np.zeros((total_h, max_w, 4), np.float32)
-    table = np.zeros((len(entries), 6), np.int32)
-    for i, ((img, ws, wt), (x, y)) in enumerate(zip(entries, coords)):
+    table = np.zeros((len(entries), 8), np.int32)
+    for i, ((img, ws, wt, mg, mn), (x, y)) in enumerate(
+            zip(entries, coords)):
         h, w = img.shape[:2]
         atlas[y:y + h, x:x + w] = img
-        table[i] = (x, y, w, h, ws, wt)
+        table[i] = (x, y, w, h, ws, wt, mg, mn)
     return atlas, table, mip_base, mip_count

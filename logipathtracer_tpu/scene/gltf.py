@@ -103,6 +103,8 @@ class TextureData:
     pixels: np.ndarray         # [H, W, 4] uint8
     wrap_s: int = 10497        # REPEAT
     wrap_t: int = 10497
+    mag_filter: int = 9729     # LINEAR (9728 = NEAREST)
+    min_filter: int = 9729     # LINEAR / *_MIPMAP_* variants
     srgb_hint: bool = True
 
 
@@ -335,6 +337,8 @@ def load_gltf(path: str) -> Gltf:
             pixels=pixels,
             wrap_s=sampler.get("wrapS", 10497),
             wrap_t=sampler.get("wrapT", 10497),
+            mag_filter=sampler.get("magFilter", 9729),
+            min_filter=sampler.get("minFilter", 9729),
         ))
 
     return Gltf(mesh_nodes=mesh_nodes, cameras=cameras, materials=materials,

@@ -117,6 +117,11 @@ class SceneSoA:
     max_stack: int = 16
     leaf_width: int = 4   # max triangles per leaf (static unroll width)
     has_textures: bool = False
+    has_nearest: bool = False  # any texture sampler uses NEAREST
+                               # filtering (glTF magFilter/minFilter
+                               # 9728/998x; the reference honors these
+                               # via Vulkan sampler state,
+                               # src/PTSceneConverter.cpp:335-386)
     mip_levels: int = 1   # mip chain depth the atlas was BUILT with —
                           # shading keys on this (not cfg), so a
                           # scene/cfg mismatch cannot mis-index the
@@ -140,7 +145,8 @@ class SceneSoA:
         "light_tris", "light_cdf",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
-                      "leaf_width", "has_textures", "mip_levels",
+                      "leaf_width", "has_textures", "has_nearest",
+                      "mip_levels",
                       "num_lights",
                       "total_light_area", "cluster_size",
                       "cameras", "name")
