@@ -58,12 +58,37 @@ def test_decode_restart_markers():
     assert diff.max() <= 40 and diff.mean() < 3.0  # noisy content
 
 
-def test_progressive_raises():
-    img = np.zeros((32, 32, 3), np.uint8)
+@pytest.mark.parametrize("shape,sub,q,rst", [
+    ((64, 64), "4:2:0", 85, None),
+    ((48, 80), "4:2:2", 95, None),
+    ((33, 57), "4:4:4", 75, None),
+    ((40, 56), "4:2:0", 80, 2),
+])
+def test_decode_progressive(shape, sub, q, rst):
+    """Progressive (SOF2) decoding: spectral selection + successive
+    approximation scans, vs PIL (round 3; was a raise-only gap)."""
+    rng = np.random.default_rng(sum(shape) + q)
+    h, w = shape
+    base = rng.uniform(0, 255, (8, 8, 3))
+    img = np.clip(np.kron(base, np.ones((h // 8 + 1, w // 8 + 1, 1)))
+                  [:h, :w], 0, 255).astype(np.uint8)
+    kw = dict(quality=q, subsampling=sub, progressive=True)
+    if rst:
+        kw["restart_marker_blocks"] = rst
+    mine, ref = _roundtrip(img, **kw)
+    assert mine.shape == (h, w, 4)
+    diff = np.abs(mine[..., :3].astype(int) - ref.astype(int))
+    assert diff.max() <= 12 and diff.mean() < 1.5
+
+
+def test_decode_progressive_grayscale():
+    g = np.linspace(0, 255, 64 * 48).reshape(48, 64).astype(np.uint8)
     buf = io.BytesIO()
-    PIL.fromarray(img).save(buf, "JPEG", progressive=True)
-    with pytest.raises(ValueError, match="SOF"):
-        decode_jpeg(buf.getvalue())
+    PIL.fromarray(g, "L").save(buf, "JPEG", quality=90, progressive=True)
+    mine = decode_jpeg(buf.getvalue())
+    ref = np.asarray(PIL.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+                     np.uint8)
+    assert np.abs(mine[..., :3].astype(int) - ref.astype(int)).max() <= 2
 
 
 def test_loader_decodes_jpeg_and_rejects_garbage(tmp_path):
