@@ -146,15 +146,18 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             key = jnp.where(
                 alive, ray_sort_key(scene, origin, direction),
                 jnp.where(retired, _I32_MAX, _I32_MAX - 1))
-            packed = jnp.concatenate([
-                origin, direction, mask, acc,
-                _bitcast_f(seed.astype(jnp.int32)),
-                _bitcast_f(bounce)[:, None],
-                _bitcast_f(pixid)[:, None],
-                _bitcast_f(alive.astype(jnp.int32))[:, None],
-                _bitcast_f(pending.astype(jnp.int32))[:, None],
-                prev_pdf[:, None],
-            ], axis=1)  # [P, 19]
+            # bounce (< 2^16), alive, pending share one int row — the
+            # sort's wide gather is the cost, so pack tight; prev_pdf
+            # rides only when NEE needs it (static).
+            flags = (bounce | (alive.astype(jnp.int32) << 16)
+                     | (pending.astype(jnp.int32) << 17))
+            cols = [origin, direction, mask, acc,
+                    _bitcast_f(seed.astype(jnp.int32)),
+                    _bitcast_f(flags)[:, None],
+                    _bitcast_f(pixid)[:, None]]
+            if cfg.nee:
+                cols.append(prev_pdf[:, None])
+            packed = jnp.concatenate(cols, axis=1)  # [P, 16 or 17]
             _, perm = jax.lax.sort_key_val(
                 key, jnp.arange(p, dtype=jnp.int32))
             packed = jnp.take(packed, perm, axis=0)  # one wide gather
@@ -163,11 +166,15 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             mask = packed[:, 6:9]
             acc = packed[:, 9:12]
             seed = _bitcast_i(packed[:, 12:14]).astype(jnp.uint32)
-            bounce = _bitcast_i(packed[:, 14])
+            flags = _bitcast_i(packed[:, 14])
+            bounce = flags & 0xFFFF
             pixid = _bitcast_i(packed[:, 15])
-            alive = _bitcast_i(packed[:, 16]) != 0
-            pending = _bitcast_i(packed[:, 17]) != 0
-            prev_pdf = packed[:, 18]
+            alive = (flags >> 16) & 1 != 0
+            pending = (flags >> 17) & 1 != 0
+            if cfg.nee:
+                prev_pdf = packed[:, 16]
+            else:
+                prev_pdf = jnp.zeros((p,), jnp.float32)
 
             # ---- flush finished paths (a contiguous tail post-sort) --
             flush = pending & ~alive
