@@ -177,24 +177,34 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 prev_pdf = jnp.zeros((p,), jnp.float32)
 
             # ---- flush finished paths (a contiguous tail post-sort) --
+            # The retired lanes are exactly the LAST n_flush rows (sort
+            # key MAX), so any tail slice >= n_flush covers them all;
+            # a cond ladder picks the smallest power-of-two slice since
+            # the scatter-add costs ~90 ns/ROW regardless of content.
             flush = pending & ~alive
             n_flush = jnp.sum(flush.astype(jnp.int32))
 
-            def flush_tail(accum):
-                sl = slice(p - flush_cap, p)
-                return accum.at[pixid[sl]].add(
-                    jnp.where(flush[sl, None], acc[sl], 0.0))
+            def flush_tail(cap_k):
+                def f(accum):
+                    sl = slice(p - cap_k, p)
+                    return accum.at[pixid[sl]].add(
+                        jnp.where(flush[sl, None], acc[sl], 0.0))
+                return f
 
             def flush_full(accum):
                 return accum.at[pixid].add(
                     jnp.where(flush[:, None], acc, 0.0))
 
-            accum = jax.lax.cond(n_flush <= flush_cap,
-                                 flush_tail, flush_full, accum)
-            flushed = flush & (jax.lax.broadcasted_iota(
-                jnp.int32, (p,), 0) >= (p - flush_cap))
-            flushed = jnp.where(n_flush <= flush_cap, flushed, flush)
-            pending = pending & ~flushed
+            caps = [c for c in (flush_cap // 4, flush_cap // 2, flush_cap)
+                    if 0 < c < p]
+            accum_fn = flush_full
+            for c in reversed(caps):
+                accum_fn = (lambda accum, c=c, nxt=accum_fn: jax.lax.cond(
+                    n_flush <= c, flush_tail(c), nxt, accum))
+            accum = accum_fn(accum)
+            # Every branch (incl. the full fallback) covers all retired
+            # rows, so the pending clear is unconditional.
+            pending = pending & ~flush
             return (origin, direction, mask, acc, seed, alive, pending,
                     prev_pdf, bounce, pixid, accum)
 
