@@ -101,9 +101,11 @@ class RenderConfig:
                                   # on the bilinear feature form
                                   # (scene.cl_mt) instead of the
                                   # elementwise VPU chain
-    stream_tile: int = 2048       # rays per streamed-sweep tile (bigger
+    stream_tile: int = 4096       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
-                                  # re-stream of the cluster data)
+                                  # re-stream of the cluster data;
+                                  # object-count independent since
+                                  # round 3's on-demand local rays)
     stream_chunk: int = 16        # clusters per streamed HBM block
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)

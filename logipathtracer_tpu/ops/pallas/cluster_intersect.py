@@ -304,12 +304,28 @@ def cluster_intersect_pallas(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 
-def _stream_kernel(oct_ref, order_ref, meta_ref, inv_ref, chunk_aabb_ref,
-                   rays_ref, aabb_ref, tris_ref, t_out, tri_out, obj_out,
-                   lray, best_t, best_tri, best_obj, *, num_objects: int,
-                   chunk: int, num_chunks: int, num_real: int, eps: float,
-                   tile: int, lanes: int, has_tmax: bool = False,
-                   fast: bool = True):
+def _local_ray(inv_ref, obj, ox, oy, oz, dx, dy, dz, fast: bool):
+    """On-demand local ray + reciprocal directions for one object
+    (round 3: replaces the [O, 9, tile] prefill scratch, whose VMEM
+    footprint scaled O(objects) and capped the stream tile for
+    outside-class scenes)."""
+    m = [inv_ref[obj, k] for k in range(12)]
+    lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+    loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+    loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+    ldx = m[0] * dx + m[1] * dy + m[2] * dz
+    ldy = m[4] * dx + m[5] * dy + m[6] * dz
+    ldz = m[8] * dx + m[9] * dy + m[10] * dz
+    rcp = _fast_recip if fast else (lambda x: 1.0 / x)
+    return lox, loy, loz, ldx, ldy, ldz, rcp(ldx), rcp(ldy), rcp(ldz)
+
+
+def _stream_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
+                   chunk_aabb_ref, rays_ref, aabb_ref, tris_ref, t_out,
+                   tri_out, obj_out, best_t, best_tri, best_obj, *,
+                   num_objects: int, chunk: int, num_chunks: int,
+                   num_real: int, eps: float, tile: int, lanes: int,
+                   has_tmax: bool = False, fast: bool = True):
     """HBM-streamed cluster sweep: grid (ray tiles, cluster chunks).
 
     The resident kernel holds every cluster triangle in VMEM; scenes
@@ -325,11 +341,20 @@ def _stream_kernel(oct_ref, order_ref, meta_ref, inv_ref, chunk_aabb_ref,
     the last chunk step).  Cluster arrays are padded to a chunk
     multiple; padded slots are gated off by ``num_real`` (static).
 
-    Chunks stream FRONT-TO-BACK per ray-tile direction octant
-    (round 3): the scalar-prefetch pair (oct_ref [tiles], order_ref
-    [8, NC]) drives both the tris BlockSpec index map and the in-kernel
-    chunk id, so early chunks fill best_t and later chunks fail the
-    slab cull — the stream analog of the resident sweep's cl_order.
+    Round-3 scalar-prefetch triple (oct_ref [tiles], order_ref [8, NC],
+    live_ref [tiles]):
+      * chunks stream FRONT-TO-BACK per ray-tile direction octant —
+        early chunks fill best_t so later chunks fail the slab cull
+        (the stream analog of the resident sweep's cl_order);
+      * ALL-PARKED tiles (live_ref[i]==0 — wavefront pools park dead
+        lanes at 1e30, and sorted pools park them in contiguous tiles)
+        pin every chunk DMA to the tile's first streamed block, which
+        Pallas recognizes as an unchanged index and skips — the
+        drain-tail iterations of small pools stop paying the full
+        per-(tile, chunk) stream cost.
+    Local rays are computed on demand per cluster (no [O, 9, tile]
+    scratch), so the tile size no longer trades off against the scene's
+    object count.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -344,8 +369,6 @@ def _stream_kernel(oct_ref, order_ref, meta_ref, inv_ref, chunk_aabb_ref,
 
     @pl.when(j == 0)
     def _():
-        _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
-                         num_objects)
         best_t[:] = (rays_ref[6, :].reshape(sub_n, 128) if has_tmax
                      else jnp.full((sub_n, 128), INF))
         best_tri[:] = jnp.full((sub_n, 128), -1, jnp.int32)
@@ -363,24 +386,18 @@ def _stream_kernel(oct_ref, order_ref, meta_ref, inv_ref, chunk_aabb_ref,
     bt_flat = best_t[:].reshape(tile)
     chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
 
-    @pl.when(jnp.any(chunk_hit))
+    @pl.when(jnp.any(chunk_hit) & (live_ref[i] == 1))
     def _():
         def cl_body(k, _):
             c = jc * chunk + k
             obj = meta_ref[0, c]
             tri_base = meta_ref[1, c]
-            lox = lray[obj, 0, :]
-            loy = lray[obj, 1, :]
-            loz = lray[obj, 2, :]
-            ldx = lray[obj, 3, :]
-            ldy = lray[obj, 4, :]
-            ldz = lray[obj, 5, :]
+            (lox, loy, loz, ldx, ldy, ldz, ix, iy, iz) = _local_ray(
+                inv_ref, obj, ox, oy, oz, dx, dy, dz, fast)
             amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
             amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
             bt = best_t[:].reshape(tile)
-            hit = _slab_inv(lox, loy, loz, lray[obj, 6, :],
-                            lray[obj, 7, :], lray[obj, 8, :],
-                            amin, amax, bt)
+            hit = _slab_inv(lox, loy, loz, ix, iy, iz, amin, amax, bt)
 
             @pl.when(jnp.any(hit) & (c < num_real))
             def _():
@@ -477,6 +494,12 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
     oct_tile = ((d0[0] > 0).astype(jnp.int32) * 4
                 + (d0[1] > 0).astype(jnp.int32) * 2
                 + (d0[2] > 0).astype(jnp.int32))          # [tiles]
+    # All-parked tiles (every origin at the 1e30 park) pin their chunk
+    # DMAs to one block in the index map below — Pallas skips refetches
+    # of an unchanged block index, so dead tiles stop paying the
+    # per-chunk stream cost.
+    live_tile = (jnp.min(rays8[0].reshape(-1, tile), axis=1)
+                 < 1e29).astype(jnp.int32)                # [tiles]
 
     grid = (r // tile, num_chunks)
     if cap:
@@ -493,31 +516,36 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
             lanes=lanes, has_tmax=has_tmax, fast=not interpret)
 
+    def tris_index(i, j, ot, co, lv):
+        first = co[ot[i], 0]
+        return (jnp.where(lv[i] == 1, co[ot[i], j], first), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # (oct_tile, chunk_order)
+        num_scalar_prefetch=3,  # (oct_tile, chunk_order, live_tile)
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meta [2, Cp]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv [O, 12]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk_aabb [6, NC]
-            pl.BlockSpec((8, tile), lambda i, j, ot, co: (0, i),
+            pl.BlockSpec((8, tile), lambda i, j, ot, co, lv: (0, i),
                          memory_space=pltpu.VMEM),   # rays
             pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [8, Cp]
-            pl.BlockSpec((chunk, 9, lanes),
-                         lambda i, j, ot, co: (co[ot[i], j], 0, 0),
+            pl.BlockSpec((chunk, 9, lanes), tris_index,
                          memory_space=pltpu.VMEM),   # tris (streamed
                                                      # front-to-back)
         ],
         out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128),
+                         lambda i, j, ot, co, lv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128),
+                         lambda i, j, ot, co, lv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i, j, ot, co: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128),
+                         lambda i, j, ot, co, lv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((o, 9, tile), jnp.float32),        # local rays + 1/d
             pltpu.VMEM((sub, 128), jnp.float32),          # best_t
             pltpu.VMEM((sub, 128), jnp.int32),            # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),            # best_obj
@@ -532,8 +560,8 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
             jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(oct_tile, chunk_order, meta_t, cl_inv, chunk_aabb_t, rays8, aabb_t,
-      cl_tris)
+    )(oct_tile, chunk_order, live_tile, meta_t, cl_inv, chunk_aabb_t,
+      rays8, aabb_t, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 
 

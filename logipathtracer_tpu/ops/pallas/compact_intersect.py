@@ -384,10 +384,10 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     obj_out[0] = best_obj[:]
 
 
-def _stream_compact_kernel(oct_ref, order_ref, meta_ref, inv_ref,
+def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
                            chunk_aabb_ref, rays_ref,
                            aabb_ref, tris_ref, t_out, tri_out, obj_out,
-                           lray, best_t, best_tri, best_obj, *,
+                           best_t, best_tri, best_obj, *,
                            num_objects: int, chunk: int, num_chunks: int,
                            num_real: int, eps: float, tile: int,
                            lanes: int, cap: int, has_tmax: bool,
@@ -395,8 +395,11 @@ def _stream_compact_kernel(oct_ref, order_ref, meta_ref, inv_ref,
     """HBM-streamed variant: grid (ray tiles, cluster chunks), cluster
     blocks double-buffered from HBM (see cluster_intersect.py::
     _stream_kernel for the streaming structure, incl. the front-to-back
-    scalar-prefetch chunk order) with the compacted MT update per
-    fired cluster."""
+    scalar-prefetch chunk order, the dead-tile DMA pinning, and the
+    on-demand local rays) with the compacted MT update per fired
+    cluster."""
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import _local_ray
+
     i = pl.program_id(0)
     j = pl.program_id(1)
     jc = order_ref[oct_ref[i], j]
@@ -410,8 +413,6 @@ def _stream_compact_kernel(oct_ref, order_ref, meta_ref, inv_ref,
 
     @pl.when(j == 0)
     def _():
-        _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
-                         num_objects)
         best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
                      if has_tmax else jnp.full((g_n, 128), BIG))
         best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
@@ -428,36 +429,33 @@ def _stream_compact_kernel(oct_ref, order_ref, meta_ref, inv_ref,
     bt_flat = best_t[:].reshape(tile)
     chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
 
-    @pl.when(jnp.any(chunk_hit))
+    @pl.when(jnp.any(chunk_hit) & (live_ref[i] == 1))
     def _():
         def cl_body(k, _):
             c = jc * chunk + k
             obj = meta_ref[0, c]
             tri_base = meta_ref[1, c]
-            lox = lray[obj, 0, :]
-            loy = lray[obj, 1, :]
-            loz = lray[obj, 2, :]
-            ldx = lray[obj, 3, :]
-            ldy = lray[obj, 4, :]
-            ldz = lray[obj, 5, :]
+            (lox, loy, loz, ldx, ldy, ldz, ix, iy, iz) = _local_ray(
+                inv_ref, obj, ox, oy, oz, dx, dy, dz, fast)
             amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
             amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
             bt = best_t[:].reshape(tile)
-            hit = _slab_inv(lox, loy, loz, lray[obj, 6, :],
-                            lray[obj, 7, :], lray[obj, 8, :],
-                            amin, amax, bt)
+            hit = _slab_inv(lox, loy, loz, ix, iy, iz, amin, amax, bt)
 
             @pl.when(jnp.any(hit) & (c < num_real))
             def _():
+                feats6 = jnp.concatenate([
+                    lox[None], loy[None], loz[None],
+                    ldx[None], ldy[None], ldz[None]], axis=0)
                 if rank_mode == "roll":
                     _compact_cluster_update_roll(
-                        hit, lray[obj, 0:6, :], tris_ref[k],
+                        hit, feats6, tris_ref[k],
                         tri_base, obj, best_t, best_tri, best_obj,
                         consts, slot_ids, g_n=g_n, cap=cap, lanes=lanes,
                         eps=eps, fast=fast)
                 else:
                     _compact_cluster_update(
-                        hit, lray[obj, 0:6, :], tris_ref[k],
+                        hit, feats6, tris_ref[k],
                         tri_base, obj, best_t, best_tri, best_obj,
                         consts, slot_ids, g_n=g_n, cap=cap, lanes=lanes,
                         eps=eps, fast=fast)

@@ -53,18 +53,25 @@ def _pad128(n: int) -> int:
 
 
 def _stream_fits(cfg: RenderConfig, scene) -> bool:
-    """VMEM/SMEM feasibility of the streamed sweep for this scene."""
+    """VMEM/SMEM feasibility of the streamed sweep for this scene.
+
+    Round 3: local rays are computed on demand inside the kernel (no
+    [O, 9, tile] scratch), so the tile size no longer scales with the
+    object count; the VMEM budget is the double-buffered tri chunks +
+    ray/best blocks + the compaction's one-hot/pipeline tiles."""
     c, _, lanes = scene.cl_tris.shape
     o = scene.num_objects
-    tile = cfg.stream_tile
     chunk = cfg.stream_chunk
+    tile = cfg.stream_tile
     cp = -(-c // chunk) * chunk
     vmem = (2 * chunk * 16 * lanes * 4     # double-buffered tri chunks
-            + o * 16 * tile * 4            # local-ray scratch (9->16 pad)
             + 8 * tile * 4                 # ray block
-            + 6 * tile * 4)                # best t/tri/obj (+outputs)
-    # SMEM: meta [2, Cp] + aabb [8, Cp] + chunk_aabb [6, NC] + inv [O, 12].
-    smem = (10 * _pad128(cp) + 6 * _pad128(cp // chunk) + o * 128) * 4
+            + 6 * tile * 4                 # best t/tri/obj (+outputs)
+            + 12 * 128 * tile * 4 // 128   # compaction one-hot + splits
+            + 8 * 128 * cfg.compact_cap * 4)
+    # SMEM: meta [2, Cp] + aabb [8, Cp] + chunk_aabb [6, NC] + inv [O, 12]
+    # + chunk order [8, NC] + tile octants/live (2 per tile, small).
+    smem = (10 * _pad128(cp) + 14 * _pad128(cp // chunk) + o * 128) * 4
     return vmem <= SWEEP_VMEM_BUDGET and smem <= SWEEP_SMEM_BUDGET
 
 

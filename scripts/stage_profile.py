@@ -29,18 +29,28 @@ def main():
     ap.add_argument("--amortize", type=int, default=8)
     ap.add_argument("--shade", default="auto")
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--scene", default="cornell",
+                    choices=["cornell", "outside", "soup"])
+    ap.add_argument("--pool", type=int, default=1 << 20)
     args = ap.parse_args()
 
     from logipathtracer_tpu.scene.compile import compile_scene
     from logipathtracer_tpu.scene.gltf import load_gltf
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        shade=args.shade)
-    scene = compile_scene(load_gltf(
-        "/root/reference/resources/cornell_box.gltf"), cfg)
+    if args.scene == "outside":
+        from logipathtracer_tpu.scene.procedural import make_outside_scene
+        scene = compile_scene(make_outside_scene(), cfg)
+    elif args.scene == "soup":
+        from logipathtracer_tpu.scene.procedural import make_triangle_soup
+        scene = compile_scene(make_triangle_soup(), cfg)
+    else:
+        scene = compile_scene(load_gltf(
+            "/root/reference/resources/cornell_box.gltf"), cfg)
     cam = scene.cameras[0]
     h = w = args.res
     npix = h * w
-    p = min(1 << 20, npix)
+    p = min(args.pool, npix)
     s = 16
     total = s * npix
     ubo_seeds = jnp.asarray(np.random.default_rng(0).integers(
