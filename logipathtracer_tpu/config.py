@@ -107,6 +107,18 @@ class RenderConfig:
                                   # object-count independent since
                                   # round 3's on-demand local rays)
     stream_chunk: int = 16        # clusters per streamed HBM block
+    stream_cap: int = 32          # compacted MT block width for the
+                                  # STREAMED sweeps: big scenes fire
+                                  # many near-empty clusters (measured
+                                  # mean ~17 passing lanes/cluster on
+                                  # the outside pool), so a narrow
+                                  # block beats compact_cap=128 there
+    stream_worklist: bool = True  # TPU stream mode uses the worklist-
+                                  # driven kernel (grid over ray tiles
+                                  # only; per-tile fired-chunk lists
+                                  # with dynamic trip counts + manual
+                                  # double-buffered chunk DMAs) instead
+                                  # of the (tiles x chunks) grid
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp

@@ -419,6 +419,32 @@ def _stream_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
         obj_out[0] = best_obj[:]
 
 
+def chunk_world_bounds(cl_meta, cl_aabb, obj_world, c: int, cp: int,
+                       chunk: int):
+    """World-space per-chunk cull AABBs: transform each cluster's 8
+    local corners by its object matrix, bound, then merge ``chunk``
+    consecutive (DFS-ordered) clusters.  Padded cluster slots get
+    +/-INF so padded chunks never fire."""
+    amin = cl_aabb[:, 0:3]
+    amax = cl_aabb[:, 3:6]
+    picks = jnp.asarray(
+        [[(ci >> 2) & 1, (ci >> 1) & 1, ci & 1] for ci in range(8)],
+        jnp.float32)  # [8, 3]
+    corners = (amin[:, None, :] * (1.0 - picks[None])
+               + amax[:, None, :] * picks[None])          # [Cp, 8, 3]
+    mats = jnp.take(obj_world, jnp.maximum(cl_meta[:, 0], 0),
+                    axis=0)                               # [Cp, 4, 4]
+    wc = (jnp.einsum("cij,ckj->cki", mats[:, :3, :3], corners,
+                     precision=jax.lax.Precision.HIGHEST)
+          + mats[:, None, :3, 3])                         # [Cp, 8, 3]
+    valid = (jnp.arange(cp) < c)[:, None]
+    wmin = jnp.where(valid, wc.min(axis=1), INF)
+    wmax = jnp.where(valid, wc.max(axis=1), -INF)
+    chunk_min = wmin.reshape(cp // chunk, chunk, 3).min(axis=1)
+    chunk_max = wmax.reshape(cp // chunk, chunk, 3).max(axis=1)
+    return chunk_min, chunk_max
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "interpret",
                                     "has_tmax", "cap", "rank_mode"))
@@ -453,23 +479,8 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
     num_chunks = cp // chunk
 
     # --- world-space chunk AABBs (8 transformed corners per cluster) --
-    amin = cl_aabb[:, 0:3]
-    amax = cl_aabb[:, 3:6]
-    picks = jnp.asarray(
-        [[(ci >> 2) & 1, (ci >> 1) & 1, ci & 1] for ci in range(8)],
-        jnp.float32)  # [8, 3]
-    corners = (amin[:, None, :] * (1.0 - picks[None])
-               + amax[:, None, :] * picks[None])          # [Cp, 8, 3]
-    mats = jnp.take(obj_world, jnp.maximum(cl_meta[:, 0], 0),
-                    axis=0)                               # [Cp, 4, 4]
-    wc = (jnp.einsum("cij,ckj->cki", mats[:, :3, :3], corners,
-                     precision=jax.lax.Precision.HIGHEST)
-          + mats[:, None, :3, 3])                         # [Cp, 8, 3]
-    valid = (jnp.arange(cp) < c)[:, None]
-    wmin = jnp.where(valid, wc.min(axis=1), INF)
-    wmax = jnp.where(valid, wc.max(axis=1), -INF)
-    chunk_min = wmin.reshape(num_chunks, chunk, 3).min(axis=1)
-    chunk_max = wmax.reshape(num_chunks, chunk, 3).max(axis=1)
+    chunk_min, chunk_max = chunk_world_bounds(cl_meta, cl_aabb, obj_world,
+                                              c, cp, chunk)
     # SMEM 2-D arrays pad the minor dim to 128 elements: keep the large
     # (cluster/chunk) dimension minor or a 2k-cluster scene blows the
     # 1 MB SMEM budget (observed on v5e).

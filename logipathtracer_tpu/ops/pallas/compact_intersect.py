@@ -471,6 +471,293 @@ def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
         obj_out[0] = best_obj[:]
 
 
+def _worklist_compact_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
+                             chunk_aabb_ref, aabb_ref, rays_ref, tris_hbm,
+                             t_out, tri_out, obj_out, tris_buf, sem,
+                             best_t, best_tri, best_obj, *, chunk: int,
+                             num_real: int, eps: float, tile: int,
+                             lanes: int, cap: int, has_tmax: bool,
+                             fast: bool = True, rank_mode: str = "roll"):
+    """Worklist-driven HBM-streamed compaction sweep: grid (ray tiles,).
+
+    The 2-D grid stream kernel (_stream_compact_kernel) pays a fixed
+    ~2.7 us grid step for EVERY (tile, chunk) pair — measured 26 ms of
+    a 104 ms outside-scene dispatch with all tiles parked
+    (scripts/stream_stats.py).  Here the grid has one step per ray
+    tile; an XLA prepass (cluster_intersect_worklist) gives each tile
+    its fired-chunk list front-to-back, and the kernel loops over just
+    those chunks with a DYNAMIC trip count, double-buffering the chunk
+    triangle blocks HBM->VMEM with manual async copies.  Dead tiles
+    (wn == 0) cost one grid step total; chunks the prepass culled cost
+    nothing at all.
+
+    Reference capability: shaders/path_tracing.comp:130-209 (the same
+    two-level traversal contract as the other sweep kernels).
+    """
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import _local_ray
+
+    i = pl.program_id(0)
+    n = wn_ref[i]
+    g_n = tile // 128
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+
+    best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
+                 if has_tmax else jnp.full((g_n, 128), BIG))
+    best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
+    best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+    consts = (_roll_prefix_consts(g_n, cap, tile) if rank_mode == "roll"
+              else _prefix_consts(g_n))
+
+    def get_dma(slot, widx):
+        jc = wl_ref[i, widx]
+        return pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(jc * chunk, chunk)], tris_buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def wl_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        jc = wl_ref[i, j]
+        camin = (chunk_aabb_ref[0, jc], chunk_aabb_ref[1, jc],
+                 chunk_aabb_ref[2, jc])
+        camax = (chunk_aabb_ref[3, jc], chunk_aabb_ref[4, jc],
+                 chunk_aabb_ref[5, jc])
+        bt_flat = best_t[:].reshape(tile)
+        # Re-test the chunk with the LIVE best_t: the prepass culled at
+        # INF, so front-to-back best_t fills prune whole chunks here.
+        chunk_hit = _slab(ox, oy, oz, dx, dy, dz, camin, camax, bt_flat)
+        get_dma(slot, j).wait()
+
+        @pl.when(jnp.any(chunk_hit))
+        def _():
+            def cl_body(k, _):
+                c = jc * chunk + k
+                obj = meta_ref[0, c]
+                tri_base = meta_ref[1, c]
+                (lox, loy, loz, ldx, ldy, ldz, ix, iy, iz) = _local_ray(
+                    inv_ref, obj, ox, oy, oz, dx, dy, dz, fast)
+                amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+                amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+                bt = best_t[:].reshape(tile)
+                hit = _slab_inv(lox, loy, loz, ix, iy, iz, amin, amax, bt)
+
+                @pl.when(jnp.any(hit) & (c < num_real))
+                def _():
+                    feats6 = jnp.concatenate([
+                        lox[None], loy[None], loz[None],
+                        ldx[None], ldy[None], ldz[None]], axis=0)
+                    if rank_mode == "roll":
+                        _compact_cluster_update_roll(
+                            hit, feats6, tris_buf[slot, k], tri_base,
+                            obj, best_t, best_tri, best_obj, consts,
+                            slot_ids, g_n=g_n, cap=cap, lanes=lanes,
+                            eps=eps, fast=fast)
+                    else:
+                        _compact_cluster_update(
+                            hit, feats6, tris_buf[slot, k], tri_base,
+                            obj, best_t, best_tri, best_obj, consts,
+                            slot_ids, g_n=g_n, cap=cap, lanes=lanes,
+                            eps=eps, fast=fast)
+
+                return 0
+
+            jax.lax.fori_loop(0, chunk, cl_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n, wl_body, 0)
+
+    t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
+    tri_out[0] = best_tri[:]
+    obj_out[0] = best_obj[:]
+
+
+def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
+                          has_tmax: bool = False):
+    """XLA prepass for the worklist kernel: slab every ray against
+    every world-space chunk AABB (mapped per ray tile so no [NC, R]
+    temporary materializes), any-reduce per tile, and order each
+    tile's fired chunks front-to-back along the tile's mean direction.
+
+    Returns (wl [tiles, NC] i32 fired-first chunk order, wn [tiles]
+    i32 fired counts).  Parked pools (origins at the 1e30 park) fail
+    every slab, so dead tiles come out with wn == 0.
+    """
+    r = rays8.shape[1]
+    tiles = r // tile
+    ox, oy, oz = rays8[0], rays8[1], rays8[2]
+    dx, dy, dz = rays8[3], rays8[4], rays8[5]
+    best0 = (jnp.minimum(rays8[6], BIG) if has_tmax
+             else jnp.full((r,), BIG))
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    # Batch tiles into a few mega-blocks: lax.map is a SERIAL scan, so
+    # per-tile mapping cost ~10 ms of pure dispatch overhead on a 64-
+    # tile pool (measured, scripts/worklist_probe.py round 3); a
+    # handful of big vectorized blocks bounds the [NC, block] f32
+    # temporaries (~40 MB each) while staying parallel.
+    nc = chunk_min.shape[0]
+    block = tile
+    while (block * 2 <= r and r % (block * 2) == 0
+           and nc * block * 2 * 4 < (48 << 20)):
+        block *= 2
+    nblk = r // block
+
+    def hit_chunks(args):
+        o1, o2, o3, i1, i2, i3, b = args                  # [block] each
+        nx = (chunk_min[:, 0][:, None] - o1[None]) * i1[None]
+        fx = (chunk_max[:, 0][:, None] - o1[None]) * i1[None]
+        ny = (chunk_min[:, 1][:, None] - o2[None]) * i2[None]
+        fy = (chunk_max[:, 1][:, None] - o2[None]) * i2[None]
+        nz = (chunk_min[:, 2][:, None] - o3[None]) * i3[None]
+        fz = (chunk_max[:, 2][:, None] - o3[None]) * i3[None]
+        t0 = jnp.maximum(jnp.maximum(jnp.minimum(nx, fx),
+                                     jnp.minimum(ny, fy)),
+                         jnp.minimum(nz, fz))
+        t1 = jnp.minimum(jnp.minimum(jnp.maximum(nx, fx),
+                                     jnp.maximum(ny, fy)),
+                         jnp.maximum(nz, fz))
+        ok = ((t0 <= t1) & (((t0 > 0.0) & (t0 < b[None]))
+                            | ((t0 <= 0.0) & (t1 > 0.0))))  # [NC, block]
+        return ok.reshape(nc, block // tile, tile).any(axis=2)
+
+    fired = jax.lax.map(
+        hit_chunks,
+        tuple(a.reshape(nblk, block) for a in
+              (ox, oy, oz, inv_x, inv_y, inv_z, best0)))   # [B, NC, T/B]
+    fired = fired.transpose(0, 2, 1).reshape(tiles, -1)    # [T, NC] bool
+
+    centroid = 0.5 * (chunk_min + chunk_max)              # [NC, 3]
+    mean_dir = jnp.stack(
+        [dx.reshape(tiles, tile).mean(axis=1),
+         dy.reshape(tiles, tile).mean(axis=1),
+         dz.reshape(tiles, tile).mean(axis=1)], axis=1)   # [T, 3]
+    # ordering only affects perf (earlier best_t fills), not hits —
+    # default einsum precision (bf16 rounding) is fine here
+    key = jnp.einsum("tk,ck->tc", mean_dir, centroid)     # [T, NC]
+    key = jnp.where(fired, key, jnp.inf)
+    wl = jnp.argsort(key, axis=1).astype(jnp.int32)       # [T, NC]
+    wn = jnp.sum(fired.astype(jnp.int32), axis=1)         # [T]
+    return wl, wn
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "chunk", "eps", "has_tmax",
+                                    "cap", "rank_mode"))
+def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
+                               obj_world, rays8, tile: int = 4096,
+                               chunk: int = 16, eps: float = 1e-4,
+                               has_tmax: bool = False, cap: int = 128,
+                               rank_mode: str = "roll"):
+    """Closest hit via the worklist-driven streamed compaction sweep.
+
+    Same contract/layouts as cluster_intersect_stream; TPU-only (the
+    manual-DMA loop has no interpreter support — CPU/interpret callers
+    use the grid-based stream kernel, which computes the same hits).
+
+    The XLA prepass here does the chunk-level culling ONCE per
+    dispatch: a world-space slab of every ray against every chunk AABB
+    (fused reduce, no [R, NC] materialization), any-reduced per ray
+    tile, then ordered front-to-back along each tile's mean direction.
+    """
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import (
+        chunk_world_bounds)
+
+    r = rays8.shape[1]
+    c, _, lanes = cl_tris.shape
+    o = cl_inv.shape[0]
+    assert cap > 0 and tile % 128 == 0 and r % tile == 0
+    sub = tile // 128
+    tiles = r // tile
+
+    cp = ((c + chunk - 1) // chunk) * chunk
+    if cp != c:
+        cl_meta = jnp.concatenate(
+            [cl_meta, jnp.zeros((cp - c, 2), jnp.int32)], axis=0)
+        cl_aabb = jnp.concatenate(
+            [cl_aabb, jnp.zeros((cp - c, 8), jnp.float32)], axis=0)
+        cl_tris = jnp.concatenate(
+            [cl_tris, jnp.zeros((cp - c, 9, lanes), jnp.float32)], axis=0)
+    num_chunks = cp // chunk
+    # Mosaic DMA slices must be sublane-aligned: pad the 9 component
+    # rows to 16 (the tiled VMEM layout rounds 9 -> 16 anyway, so the
+    # only cost is streaming real zeros instead of implicit ones).
+    cl_tris = jnp.concatenate(
+        [cl_tris, jnp.zeros((cp, 7, lanes), jnp.float32)], axis=1)
+
+    chunk_min, chunk_max = chunk_world_bounds(cl_meta, cl_aabb, obj_world,
+                                              c, cp, chunk)
+    wl, wn = build_chunk_worklists(chunk_min, chunk_max, rays8, tile,
+                                   has_tmax=has_tmax)
+
+    grid = (tiles,)
+    kernel = functools.partial(
+        _worklist_compact_kernel, chunk=chunk, num_real=c, eps=eps,
+        tile=tile, lanes=lanes, cap=cap, has_tmax=has_tmax, fast=True,
+        rank_mode=rank_mode)
+
+    meta_t = cl_meta.T
+    aabb_t = cl_aabb.T
+    chunk_aabb_t = jnp.concatenate([chunk_min, chunk_max], axis=1).T
+    inv_rows = cl_inv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # (wl, wn)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta [2, Cp]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv [O, 12]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk_aabb [6, NC]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [8, Cp]
+            pl.BlockSpec((8, tile), lambda i, w, n: (0, i),
+                         memory_space=pltpu.VMEM),   # rays
+            pl.BlockSpec(memory_space=pl.ANY),       # tris (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda i, w, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i, w, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i, w, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 16, lanes), jnp.float32),  # tri chunks
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((sub, 128), jnp.float32),            # best_t
+            pltpu.VMEM((sub, 128), jnp.int32),              # best_tri
+            pltpu.VMEM((sub, 128), jnp.int32),              # best_obj
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, sub, 128), jnp.int32),
+        ],
+    )(wl, wn, meta_t, inv_rows, chunk_aabb_t, aabb_t, rays8, cl_tris)
+    return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
                                              "mxu", "rank_mode"))
@@ -500,7 +787,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     else:
         lanes = cols
     o = cl_inv.shape[0]
-    assert tile % 128 == 0 and r % tile == 0 and cap % 128 == 0
+    assert tile % 128 == 0 and r % tile == 0 and cap % 8 == 0
     sub = tile // 128
 
     grid = (r // tile,)

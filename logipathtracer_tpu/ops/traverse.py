@@ -216,6 +216,34 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
     return t[:r], obj[:r], tri[:r]
 
 
+def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
+                             tile: int = 4096, chunk: int = 16,
+                             t_max=None, cap: int = 128,
+                             rank_mode: str = "roll"):
+    """Closest hit via the worklist-driven streamed compaction sweep
+    (compact_intersect.py::cluster_intersect_worklist) — the TPU
+    production path for beyond-VMEM scenes.  Same contract as
+    intersect_scene_stream."""
+    from logipathtracer_tpu.ops.pallas.compact_intersect import \
+        cluster_intersect_worklist
+
+    r = origin.shape[0]
+    rp = ((r + tile - 1) // tile) * tile
+    rays8 = jnp.zeros((8, rp), jnp.float32)
+    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
+    rays8 = rays8.at[0:3, :r].set(origin.T)
+    rays8 = rays8.at[3:6, :r].set(direction.T)
+    if t_max is not None:
+        rays8 = rays8.at[6, :].set(INF)
+        rays8 = rays8.at[6, :r].set(t_max)
+    inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
+    t, tri, obj = cluster_intersect_worklist(
+        scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
+        scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
+        has_tmax=t_max is not None, cap=cap, rank_mode=rank_mode)
+    return t[:r], obj[:r], tri[:r]
+
+
 def intersect_bruteforce(scene, origin, direction, eps: float = 1e-4,
                          chunk: int = 4096):
     """Oracle: test every triangle of every object (no BVH).

@@ -68,7 +68,7 @@ def _stream_fits(cfg: RenderConfig, scene) -> bool:
             + 8 * tile * 4                 # ray block
             + 6 * tile * 4                 # best t/tri/obj (+outputs)
             + 12 * 128 * tile * 4 // 128   # compaction one-hot + splits
-            + 8 * 128 * cfg.compact_cap * 4)
+            + 8 * 128 * cfg.stream_cap * 4)
     # SMEM: meta [2, Cp] + aabb [8, Cp] + chunk_aabb [6, NC] + inv [O, 12]
     # + chunk order [8, NC] + tile octants/live (2 per tile, small).
     smem = (10 * _pad128(cp) + 14 * _pad128(cp // chunk) + o * 128) * 4
@@ -133,7 +133,18 @@ def pick_intersect(cfg: RenderConfig, scene=None):
     if mode in ("stream", "stream_interpret"):
         from logipathtracer_tpu.ops.traverse import intersect_scene_stream
         backend = "interpret" if mode == "stream_interpret" else "pallas"
-        cap = cfg.compact_cap if cfg.stream_compact else 0
+        cap = cfg.stream_cap if cfg.stream_compact else 0
+        if (mode == "stream" and cfg.stream_worklist and cap > 0):
+            # Worklist-driven stream kernel: TPU-only (manual DMA has no
+            # interpret support); the grid-based kernel stays the
+            # interpret/CPU twin and the cap=0 fallback.
+            from logipathtracer_tpu.ops.traverse import \
+                intersect_scene_worklist
+            return lambda s, o, d, eps, t_max=None: \
+                intersect_scene_worklist(
+                    s, o, d, eps=eps, tile=cfg.stream_tile,
+                    chunk=cfg.stream_chunk, t_max=t_max, cap=cap,
+                    rank_mode=cfg.compact_rank)
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
             backend=backend, t_max=t_max, cap=cap,

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--scene", default="cornell",
                     choices=["cornell", "outside", "soup"])
     ap.add_argument("--pool", type=int, default=1 << 20)
+    ap.add_argument("--dump", default=None,
+                    help="npz path: save post-sort pool rays per iteration")
     args = ap.parse_args()
 
     from logipathtracer_tpu.scene.compile import compile_scene
@@ -180,6 +182,7 @@ def main():
         return (time.perf_counter() - t0 - floor_ms * 1e-3) / K, out
 
     stages = {k: [] for k in ("regen", "sort", "isect", "shade", "flush")}
+    dumps = {}
     for it in range(args.iters):
         dt, out = timed(regen, origin, direction, mask, acc, seed, alive,
                         pending, prev_pdf, bounce, pixid, next_work)
@@ -192,6 +195,10 @@ def main():
         (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
          bounce, pixid) = out
         stages["sort"].append(dt)
+        if args.dump:
+            dumps[f"o{it}"] = np.asarray(origin)
+            dumps[f"d{it}"] = np.asarray(direction)
+            dumps[f"alive{it}"] = np.asarray(alive)
 
         dt, (t, obj, tri) = timed(intersect, origin, direction)
         stages["isect"].append(dt)
@@ -219,6 +226,9 @@ def main():
         tot += m
         print(f"  {k:6s} {m:7.1f}")
     print(f"  total  {tot:7.1f}  -> {p / tot / 1e3:.2f} Mrays/s-iter")
+    if args.dump:
+        np.savez_compressed(args.dump, iters=args.iters, **dumps)
+        print(f"dumped pool rays -> {args.dump}")
 
 
 if __name__ == "__main__":

@@ -100,3 +100,44 @@ def test_compact_matches_sweep_on_hardware(cornell_scene):
     # Any differing rays must be 1-ulp-class ties, not wrong geometry.
     for k in np.flatnonzero(t0 != t1):
         assert abs(t0[k] - t1[k]) <= 1e-3 * abs(t0[k]) + 1e-6
+
+
+def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
+    """Worklist-driven stream kernel (manual DMA, dynamic trip counts)
+    vs the 2-D-grid stream kernel on real cornell primaries: identical
+    hits (measured exactly equal on outside-scene pools too,
+    scripts/worklist_probe.py).  Small tile/chunk force multi-tile
+    worklists and cluster padding."""
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    from logipathtracer_tpu.ops.traverse import (intersect_scene_stream,
+                                                 intersect_scene_worklist)
+
+    scene = cornell_scene
+    cam = scene.cameras[0]
+    h = w = 128
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
+                           jnp.float32(cam.yfov), pix, (w, h), seed)
+
+    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+                                          cap=128)
+    tg, og, rg = intersect_scene_stream(scene, o, d, tile=512, chunk=4,
+                                        cap=128)
+    tw, tg = np.asarray(tw), np.asarray(tg)
+    neq = int((tw != tg).sum())
+    assert neq <= max(4, tw.size // 10_000), f"{neq}/{tw.size} mismatches"
+    for k in np.flatnonzero(tw != tg):
+        assert abs(tw[k] - tg[k]) <= 1e-3 * abs(tw[k]) + 1e-6
+    # shadow-query variant (t_max): any-hit pruning must agree too
+    tmax = jnp.full((h * w,), 0.35)
+    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+                                         cap=128, t_max=tmax)
+    tgs, _, _ = intersect_scene_stream(scene, o, d, tile=512, chunk=4,
+                                       cap=128, t_max=tmax)
+    tws, tgs = np.asarray(tws), np.asarray(tgs)
+    neq = int((tws != tgs).sum())
+    assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
