@@ -50,6 +50,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--camera", type=int, default=0, help="camera index")
     p.add_argument("--leaf-size", type=int, default=4)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "wavefront", "megakernel"],
+                   help="frame loop: pooled wavefront (TPU default) or "
+                        "lockstep megakernel (the reference's RendererPT "
+                        "shape; CPU default)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR "
                         "(SURVEY.md §5.1 instrumentation)")
@@ -74,6 +79,7 @@ def _build(args):
                        use_microfacet=not args.basic,
                        nee=args.nee,
                        mip_levels=args.mips,
+                       renderer=args.renderer,
                        bvh_leaf_size=args.leaf_size)
     log.info("loading %s", args.scene)
     gltf = load_gltf(args.scene)

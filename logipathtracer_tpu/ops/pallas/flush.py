@@ -1,0 +1,140 @@
+"""Bin-matmul radiance flush (Pallas TPU).
+
+The wavefront's flush scatters retired paths' radiance into the
+accumulation buffer.  XLA's scatter-add costs ~110-370 ns/ROW on v5e
+regardless of payload (scripts/maint_probe.py) — 22 ms/iteration on
+the cornell 1M pool, the largest maintenance stage after round 3's
+intersect work.
+
+This kernel replaces the scatter with dense MXU work, exploiting the
+round-3 sort-key change (wavefront.py: retired lanes sort to the pool
+tail KEYED BY PIXID, so the flush tail's scatter indices are
+ascending):
+
+  * the image is cut into BW-pixel bins; a searchsorted prepass finds
+    each bin's contiguous row segment of the sorted tail;
+  * grid (bins,): each step DMAs its segment (128-aligned blocks of
+    ``cap`` rows), builds a [cap, BW] one-hot from the in-bin pixel
+    offsets, and accumulates ONE [cap, BW]^T x [cap, 3] matmul into
+    the bin's dense accum block — bf16 hi/mid/lo splits keep every f32
+    addend exact (same argument as compact_intersect._dot_onehot);
+  * rows outside the bin (alignment padding, the slice's non-retired
+    prefix, neighbours' rows) match no one-hot column, so alignment
+    and masking are free.
+
+Cost is O(npix / BW) grid steps + O(retired rows / cap) matmul blocks
+— ~1-2 ms where the scatter paid 22 — and is independent of the pool
+size, which also caps the drain-tail iterations' maintenance cost.
+
+TPU-only (manual DMA inside fori_loop has no interpreter support);
+the XLA scatter stays as the CPU/interpret twin and the n_flush >
+tail-capacity fallback.  Reference analog: the framebuffer
+accumulation of shaders/path_tracing.comp:360-377, restructured from
+per-thread += into a sorted bulk commit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _flush_kernel(s0_ref, nb_ref, ain_ref, tail_ref, aout_ref, tbuf, sem,
+                  *, bw: int, cap: int):
+    b = pl.program_id(0)
+    aout_ref[...] = ain_ref[...]
+    n = nb_ref[b]
+    base = s0_ref[b]
+    iota_bw = jax.lax.broadcasted_iota(jnp.float32, (1, bw), 1)
+    binf = jax.lax.convert_element_type(b * bw, jnp.float32)
+
+    def body(j, _):
+        dma = pltpu.make_async_copy(
+            tail_ref.at[pl.ds(base + j * cap, cap)], tbuf, sem)
+        dma.start()
+        dma.wait()
+        # col 3 holds the pixel id as an exact f32 value (-1 = not
+        # retired); rows outside this bin match no column.
+        pix_rel = tbuf[:, 3:4] - binf                     # [cap, 1]
+        ohb = (pix_rel == iota_bw).astype(jnp.bfloat16)   # [cap, BW]
+        acc = tbuf[:, 0:3]                                # [cap, 3]
+        ah = acc.astype(jnp.bfloat16)
+        r1 = acc - ah.astype(jnp.float32)
+        am = r1.astype(jnp.bfloat16)
+        al = (r1 - am.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot(x):
+            return jax.lax.dot_general(
+                ohb, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)       # [BW, 3]
+
+        aout_ref[...] += dot(ah) + dot(am) + dot(al)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def flush_bin_segments(pix_sorted, npix: int, bw: int, cap: int):
+    """Searchsorted prepass: per-bin 128-aligned block starts and
+    block counts over the ascending (-1-prefixed) pixel-id tail."""
+    nbins = -(-npix // bw)
+    bounds = jnp.arange(nbins + 1, dtype=pix_sorted.dtype) * bw
+    edges = jnp.searchsorted(pix_sorted, bounds, side="left")
+    start_al = (edges[:-1] // 128) * 128
+    nb = jnp.maximum(edges[1:] - start_al, 0)
+    nb = (nb + cap - 1) // cap
+    return start_al.astype(jnp.int32), nb.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "cap"))
+def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512):
+    """accum [npix, 3] += per-pixel sums of acc_tail rows, where
+    pix_tail [FC] is ascending with a -1 prefix for rows to skip.
+
+    Exact: every addend enters the accumulator as its f32 value (bf16
+    split products against a 0/1 one-hot); only the addition ORDER
+    differs from a scalar scatter (same class as accumulation-order
+    ULPs between the wavefront and megakernel renderers).
+    """
+    npix = accum.shape[0]
+    fc = pix_tail.shape[0]
+    assert cap % 128 == 0
+    nbins = -(-npix // bw)
+    pad = nbins * bw - npix
+    if pad:
+        accum = jnp.concatenate(
+            [accum, jnp.zeros((pad, 3), accum.dtype)], axis=0)
+
+    # [FC + cap, 4]: acc.xyz + pixel id as exact f32 (npix < 2^24)
+    tail4 = jnp.concatenate(
+        [acc_tail, pix_tail.astype(jnp.float32)[:, None]], axis=1)
+    tail4 = jnp.concatenate(
+        [tail4, jnp.full((cap, 4), -1.0, jnp.float32)], axis=0)
+
+    s0, nb = flush_bin_segments(pix_tail, nbins * bw, bw, cap)
+
+    out = pl.pallas_call(
+        functools.partial(_flush_kernel, bw=bw, cap=cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # (s0, nb)
+            grid=(nbins,),
+            in_specs=[
+                pl.BlockSpec((bw, 3), lambda b, s, n: (b, 0),
+                             memory_space=pltpu.VMEM),    # accum in
+                pl.BlockSpec(memory_space=pl.ANY),        # tail4 (HBM)
+            ],
+            out_specs=pl.BlockSpec((bw, 3), lambda b, s, n: (b, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((cap, 4), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbins * bw, 3), jnp.float32),
+    )(s0, nb, accum, tail4)
+    return out[:npix]

@@ -197,7 +197,7 @@ def _build_step(mesh: Mesh, cfg: RenderConfig, scene):
         y0 = (tile * rows_local).astype(jnp.int32)
         if use_wavefront:
             from logipathtracer_tpu.render.wavefront import render_wavefront
-            img, rays = render_wavefront.__wrapped__(
+            img, rays, _ = render_wavefront.__wrapped__(
                 scene, cfg, cam, fov, seeds,
                 pool=min(cfg.pool_size,
                          seeds.shape[0] * rows_local * cfg.render_width),

@@ -159,7 +159,7 @@ class ProgressiveRenderer:
             self._host_rng.integers(1, 2 ** 31, (samples, 2),
                                     dtype=np.int64), jnp.uint32)
         t0 = time.perf_counter()
-        batch, rays = render_wavefront(
+        batch, rays, iters = render_wavefront(
             self.scene, self.config, cam, fov, seeds,
             pool=min(self.config.pool_size,
                      self.config.render_width * self.config.render_height))
@@ -170,6 +170,7 @@ class ProgressiveRenderer:
         self._session_samples += samples
         self.total_rays += float(rays)
         self._session_rays += float(rays)
+        self.last_iterations = int(iters)
         self._dirty = False
         if self.sample_count % 10 < samples:
             log.info("samples: %d  samples/s: %.3f  Mrays/s: %.2f",

@@ -64,7 +64,10 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     (parallel/mesh.py).
 
     Returns (accum [rows, W, 3] radiance SUM over the S samples,
-    rays_traced scalar).
+    rays_traced scalar, iterations scalar).  The iteration count is the
+    frame's pool-pass total — drain-tail iterations (few alive lanes,
+    full O(pool) maintenance) are the wavefront's main amortization
+    loss, so callers batching samples should watch it.
     """
     h, w = cfg.render_height, cfg.render_width
     rows = h if rows is None else rows
@@ -143,9 +146,15 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             (origin, direction, mask, acc, seed, alive, pending,
              prev_pdf, bounce, pixid, accum) = args
             retired = pending & ~alive
+            # Alive keys are 18-bit (octant<<15 | morton); free lanes
+            # sort just above them, and retired lanes sort last KEYED
+            # BY PIXID — the flush tail then has ascending scatter
+            # indices, which XLA's scatter exploits (~10x between
+            # random and near-sorted row access measured in
+            # scripts/maint_probe.py).
             key = jnp.where(
                 alive, ray_sort_key(scene, origin, direction),
-                jnp.where(retired, _I32_MAX, _I32_MAX - 1))
+                jnp.where(retired, (1 << 18) + 1 + pixid, 1 << 18))
             # bounce (< 2^16), alive, pending share one int row — the
             # sort's wide gather is the cost, so pack tight; prev_pdf
             # rides only when NEE needs it (static).
@@ -187,8 +196,14 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             def flush_tail(cap_k):
                 def f(accum):
                     sl = slice(p - cap_k, p)
-                    return accum.at[pixid[sl]].add(
-                        jnp.where(flush[sl, None], acc[sl], 0.0))
+                    # Non-retired rows are a PREFIX of the slice (their
+                    # keys sort below every retired key); pointing them
+                    # at row 0 with a zero addend keeps the index array
+                    # ascending, so the sorted-scatter promise holds.
+                    idx = jnp.where(flush[sl], pixid[sl], 0)
+                    return accum.at[idx].add(
+                        jnp.where(flush[sl, None], acc[sl], 0.0),
+                        indices_are_sorted=True)
                 return f
 
             def flush_full(accum):
@@ -354,4 +369,4 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     if blocked:
         accum = accum.reshape(rows // bh, w // bw, bh, bw, 3).transpose(
             0, 2, 1, 3, 4)
-    return accum.reshape(rows, w, 3), state["rays"]
+    return accum.reshape(rows, w, 3), state["rays"], state["it"]

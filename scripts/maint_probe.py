@@ -6,8 +6,9 @@ Measures, at pool sizes 2^20 and 2^18:
   3. scatter-add accum.at[pixid].add(3 cols) at P, P/4, P/8 rows
   4. Pallas GROUP permutation: move [128, 17] blocks via a
      scalar-prefetched group perm (pure DMA pipeline)
-  5. 4 + in-kernel within-group row sort (compare-rank + split3
-     one-hot matmul rows, bit-exact)
+  (an in-kernel within-group row-sort variant was abandoned:
+   Mosaic rejects the rank-3 broadcasts it wants, and the BlockSpec-
+   indexed group DMA underneath it is the slow part anyway)
 
 The numbers decide whether round 3's maintenance fusion is worth a
 group-granular sort (VERDICT #2): XLA's row-granular gather/scatter
@@ -72,53 +73,6 @@ def group_permute(x, perm, groups_per_block: int = 8):
     )(perm, x)
 
 
-def group_permute_sorted(x, keys, perm, blk_groups: int = 8):
-    """Group DMA permute + within-group row sort by keys (bit-exact
-    split3 one-hot rows).  keys [P] i32 arrive pre-permuted per group
-    alongside x; each [blk*128] block sorts rows within each of its
-    128-row groups independently."""
-    from logipathtracer_tpu.ops.pallas.compact_intersect import _dot_onehot
-
-    p, c = x.shape
-    g = p // 128
-    rows = blk_groups * 128
-
-    def kern(perm_ref, x_ref, k_ref, o_ref):
-        k = k_ref[...].reshape(blk_groups, 128)
-        # rank of each row within its group (stable: index tie-break)
-        ki = k[:, :, None]
-        kj = k[:, None, :]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 128), 1)
-        idxj = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 128), 2)
-        less = (kj < ki) | ((kj == ki) & (idxj < idx))
-        rank = jnp.sum(less.astype(jnp.int32), axis=2)      # [B, 128]
-        # one-hot [B, 128, 128]: out row r takes input row with rank r
-        out_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_groups, 128, 128), 1)
-        oh = (rank[:, None, :] == out_iota).astype(jnp.float32)
-        xb = x_ref[...].reshape(blk_groups, 128, c)
-        acc = jnp.zeros((blk_groups, 128, c), jnp.float32)
-        for b in range(blk_groups):
-            acc = acc.at[b].set(_dot_onehot(oh[b], xb[b]))
-        o_ref[...] = acc.reshape(rows, c)
-
-    return pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(g // blk_groups,),
-            in_specs=[
-                pl.BlockSpec((rows, c), lambda i, pr: (pr[i], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows,), lambda i, pr: (pr[i],),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((rows, c), lambda i, pr: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((p, c), x.dtype),
-    )(perm, x, keys)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pools", default="1048576,262144")
@@ -153,6 +107,20 @@ def main():
             print(f"scatter-add {nm:4s} rows:  {dt * 1e3:7.2f} ms "
                   f"({dt / n * 1e9:5.1f} ns/row)", flush=True)
 
+        # sorted-index scatter (the production flush tail after the
+        # round-3 pixid-keyed retired sort): sparse ascending indices
+        n = p // 8
+        pixid_sorted = jnp.sort(pixid[:n])
+        f_ss = jax.jit(lambda a, pid, v: a.at[pid].add(
+            v[:n], indices_are_sorted=True))
+        dt = timeit(f_ss, accum, pixid_sorted, acc3)
+        print(f"scatter-add P/8 SORTED:  {dt * 1e3:7.2f} ms "
+              f"({dt / n * 1e9:5.1f} ns/row)", flush=True)
+        f_su = jax.jit(lambda a, pid, v: a.at[pid].add(v[:n]))
+        dt = timeit(f_su, accum, pixid_sorted, acc3)
+        print(f"  (same data, no promise): {dt * 1e3:6.2f} ms "
+              f"({dt / n * 1e9:5.1f} ns/row)", flush=True)
+
         g = p // 128
         gperm = jnp.asarray(rng.permutation(g), jnp.int32)
         f_gp = jax.jit(lambda pr, x: group_permute(x, pr))
@@ -160,25 +128,6 @@ def main():
         print(f"group DMA permute [P,17]: {dt * 1e3:5.2f} ms "
               f"({dt / p * 1e9:5.1f} ns/row, "
               f"{2 * p * 17 * 4 / dt / 2**30:.0f} GiB/s)", flush=True)
-
-        gperm8 = jnp.asarray(rng.permutation(g // 8), jnp.int32)
-        f_gs = jax.jit(lambda pr, x, k: group_permute_sorted(x, k, pr))
-        dt = timeit(f_gs, gperm8, x17, key)
-        print(f"group permute + in-sort:  {dt * 1e3:5.2f} ms "
-              f"({dt / p * 1e9:5.1f} ns/row)", flush=True)
-
-        # correctness of the in-kernel sort (one block)
-        out = np.asarray(f_gs(gperm8, x17, key))
-        kk = np.asarray(key).reshape(-1, 128)
-        xx = np.asarray(x17)
-        b0 = int(np.asarray(gperm8)[0])
-        for gi in range(8):
-            src = b0 * 8 + gi
-            order = np.argsort(kk[src], kind="stable")
-            ref = xx[src * 128:(src + 1) * 128][order]
-            got = out[gi * 128:(gi + 1) * 128]
-            assert np.array_equal(ref, got), f"group {gi} mismatch"
-        print("in-kernel sort bit-exact: OK", flush=True)
 
 
 if __name__ == "__main__":

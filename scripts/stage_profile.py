@@ -52,8 +52,8 @@ def main():
     cam = scene.cameras[0]
     h = w = args.res
     npix = h * w
-    p = min(args.pool, npix)
     s = 16
+    p = min(args.pool, s * npix)
     total = s * npix
     ubo_seeds = jnp.asarray(np.random.default_rng(0).integers(
         1, 2 ** 31, (s, 2)), jnp.uint32)
@@ -90,12 +90,18 @@ def main():
             cam_world, fov, jnp.stack([px, py], -1), (w, h), nseed,
             active=valid, rand=rand)
         vx = valid[:, None]
-        return (jnp.where(vx, o_new, origin),
-                jnp.where(vx, d_new, direction),
+        alive2 = alive | valid
+        origin = jnp.where(vx, o_new, origin)
+        direction = jnp.where(vx, d_new, direction)
+        # park still-dead lanes (production does this before isect)
+        park = ~alive2
+        origin = jnp.where(park[:, None], 1e30, origin)
+        direction = jnp.where(park[:, None], 1.0, direction)
+        return (origin, direction,
                 jnp.where(vx, 1.0, mask), jnp.where(vx, 0.0, acc),
                 jnp.where(vx, nseed, seed),
                 jnp.where(valid, 0, bounce),
-                jnp.where(valid, pixi, pixid), alive | valid,
+                jnp.where(valid, pixi, pixid), alive2,
                 pending | valid, jnp.where(valid, 0.0, prev_pdf),
                 jnp.minimum(next_work + jnp.sum(dead.astype(jnp.int32)),
                             total))
@@ -105,8 +111,11 @@ def main():
                   prev_pdf, bounce, pixid):
         bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        # mirror production: retired tail keyed by pixid (wavefront.py)
+        retired = pending & ~alive
         key = jnp.where(alive, ray_sort_key(scene, origin, direction),
-                        jnp.iinfo(jnp.int32).max)
+                        jnp.where(retired, (1 << 18) + 1 + pixid,
+                                  1 << 18))
         packed = jnp.concatenate([
             origin, direction, mask, acc, bf(seed.astype(jnp.int32)),
             bf(bounce)[:, None], bf(pixid)[:, None],
@@ -133,12 +142,36 @@ def main():
                           alive, seed, bounce, t, obj, tri,
                           prev_pdf=prev_pdf, isect=isect, rand=rand)
 
+    flush_cap = min(p, 1 << 18)
+
     @jax.jit
-    def flush(accum, pixid, pending, alive, acc, bounce):
-        alive2 = alive & (bounce < cfg.max_depth)
-        fl = pending & ~alive2
-        accum = accum.at[pixid].add(jnp.where(fl[:, None], acc, 0.0))
-        return accum, pending & alive2, alive2
+    def flush(accum, pixid, pending, alive, acc):
+        """Mirrors the production tail-slice cond ladder + sorted-
+        indices scatter (wavefront.py::flush_tail); runs on the SORTED
+        state (retired = pool tail), like production."""
+        fl = pending & ~alive
+        n_flush = jnp.sum(fl.astype(jnp.int32))
+
+        def flush_tail(cap_k):
+            def f(accum):
+                sl = slice(p - cap_k, p)
+                idx = jnp.where(fl[sl], pixid[sl], 0)
+                return accum.at[idx].add(
+                    jnp.where(fl[sl, None], acc[sl], 0.0),
+                    indices_are_sorted=True)
+            return f
+
+        def flush_full(accum):
+            return accum.at[pixid].add(jnp.where(fl[:, None], acc, 0.0))
+
+        caps = [c for c in (flush_cap // 4, flush_cap // 2, flush_cap)
+                if 0 < c < p]
+        accum_fn = flush_full
+        for c in reversed(caps):
+            accum_fn = (lambda accum, c=c, nxt=accum_fn: jax.lax.cond(
+                n_flush <= c, flush_tail(c), nxt, accum))
+        accum = accum_fn(accum)
+        return accum, pending & alive
 
     # state
     origin = jnp.zeros((p, 3)); direction = jnp.zeros((p, 3)).at[:, 2].set(1.0)
@@ -181,20 +214,26 @@ def main():
         sync(out)
         return (time.perf_counter() - t0 - floor_ms * 1e-3) / K, out
 
-    stages = {k: [] for k in ("regen", "sort", "isect", "shade", "flush")}
+    stages = {k: [] for k in ("sort", "flush", "regen", "isect", "shade")}
     dumps = {}
     for it in range(args.iters):
-        dt, out = timed(regen, origin, direction, mask, acc, seed, alive,
-                        pending, prev_pdf, bounce, pixid, next_work)
-        (origin, direction, mask, acc, seed, bounce, pixid, alive,
-         pending, prev_pdf, next_work) = out
-        stages["regen"].append(dt)
-
+        # Production body order (wavefront.py): sort -> flush (tail of
+        # the sorted pool) -> regen (+ park) -> isect -> shade.
         dt, out = timed(sort_pool, origin, direction, mask, acc, seed,
                         alive, pending, prev_pdf, bounce, pixid)
         (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
          bounce, pixid) = out
         stages["sort"].append(dt)
+
+        dt, out = timed(flush, accum, pixid, pending, alive, acc)
+        accum, pending = out
+        stages["flush"].append(dt)
+
+        dt, out = timed(regen, origin, direction, mask, acc, seed, alive,
+                        pending, prev_pdf, bounce, pixid, next_work)
+        (origin, direction, mask, acc, seed, bounce, pixid, alive,
+         pending, prev_pdf, next_work) = out
+        stages["regen"].append(dt)
         if args.dump:
             dumps[f"o{it}"] = np.asarray(origin)
             dumps[f"d{it}"] = np.asarray(direction)
@@ -208,11 +247,8 @@ def main():
                         bounce, t, obj, tri, prev_pdf)
         origin, direction, acc, mask, alive, seed, prev_pdf = out
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
+        alive = alive & (bounce < cfg.max_depth)
         stages["shade"].append(dt)
-
-        dt, out = timed(flush, accum, pixid, pending, alive, acc, bounce)
-        accum, pending, alive = out
-        stages["flush"].append(dt)
 
         n_alive = int(np.asarray(jnp.sum(alive)))
         print(f"it {it}: alive {n_alive}  " + "  ".join(

@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--tris", type=int, default=400_000)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--spp", type=int, default=2)
-    ap.add_argument("--tile", type=int, default=2048)
+    ap.add_argument("--tile", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--render", action="store_true",
                     help="also time an end-to-end progressive render")

@@ -130,7 +130,7 @@ def test_nee_wavefront_matches_megakernel(cornell_scene):
                        nee=True)
     cam = cornell_scene.cameras[0]
     seeds = [[31, 47]]
-    wf, _ = render_wavefront(
+    wf, _, _ = render_wavefront(
         cornell_scene, cfg, jnp.asarray(cam.world_matrix),
         jnp.float32(cam.yfov), jnp.asarray(seeds, jnp.uint32), pool=256)
     mk = np.asarray(render_sample(

@@ -28,7 +28,7 @@ def _mk_sum(scene, cfg, seeds):
 def test_wavefront_matches_megakernel(cornell_scene, pool):
     cfg = RenderConfig(width=32, height=32, max_depth=6, intersect="bvh")
     cam = cornell_scene.cameras[0]
-    wf, rays = render_wavefront(
+    wf, rays, _ = render_wavefront(
         cornell_scene, cfg, jnp.asarray(cam.world_matrix),
         jnp.float32(cam.yfov), jnp.asarray(SEEDS, jnp.uint32), pool=pool)
     wf = np.asarray(wf)
@@ -42,7 +42,7 @@ def test_wavefront_unsorted(cornell_scene):
     cfg = RenderConfig(width=32, height=32, max_depth=4, intersect="bvh",
                        sort_rays=False)
     cam = cornell_scene.cameras[0]
-    wf, _ = render_wavefront(
+    wf, _, _ = render_wavefront(
         cornell_scene, cfg, jnp.asarray(cam.world_matrix),
         jnp.float32(cam.yfov), jnp.asarray(SEEDS[:1], jnp.uint32), pool=512)
     mk = _mk_sum(cornell_scene, cfg, SEEDS[:1])
@@ -67,7 +67,7 @@ def test_wavefront_ray_count(cornell_scene):
     o, d, seed = generate_ray(jnp.asarray(cam.world_matrix),
                               jnp.float32(cam.yfov), pix, (w, h), seed)
     _, _, rays_mk = trace_rays(cornell_scene, cfg, o, d, seed)
-    _, rays_wf = render_wavefront(
+    _, rays_wf, _ = render_wavefront(
         cornell_scene, cfg, jnp.asarray(cam.world_matrix),
         jnp.float32(cam.yfov), jnp.asarray(SEEDS[:1], jnp.uint32), pool=128)
     assert float(rays_mk) == float(rays_wf)
@@ -101,8 +101,8 @@ def test_wavefront_scheduling_knobs_preserve_image(cornell_scene, knobs):
     cam = cornell_scene.cameras[0]
     args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
             jnp.asarray(SEEDS[:2], jnp.uint32))
-    ref, rays_ref = render_wavefront(cornell_scene, base, *args, pool=512)
-    out, rays_out = render_wavefront(cornell_scene,
+    ref, rays_ref, _ = render_wavefront(cornell_scene, base, *args, pool=512)
+    out, rays_out, _ = render_wavefront(cornell_scene,
                                      base.replace(**knobs), *args,
                                      pool=512)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -117,10 +117,10 @@ def test_wavefront_row_slab(cornell_scene):
     cam = cornell_scene.cameras[0]
     args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
             jnp.asarray(SEEDS[:2], jnp.uint32))
-    full, rays_full = render_wavefront(cornell_scene, cfg, *args, pool=512)
-    top, rays_t = render_wavefront(cornell_scene, cfg, *args, pool=512,
+    full, rays_full, _ = render_wavefront(cornell_scene, cfg, *args, pool=512)
+    top, rays_t, _ = render_wavefront(cornell_scene, cfg, *args, pool=512,
                                    y0=0, rows=16)
-    bot, rays_b = render_wavefront(cornell_scene, cfg, *args, pool=512,
+    bot, rays_b, _ = render_wavefront(cornell_scene, cfg, *args, pool=512,
                                    y0=16, rows=16)
     tiled = np.concatenate([np.asarray(top), np.asarray(bot)], axis=0)
     np.testing.assert_allclose(tiled, np.asarray(full),
