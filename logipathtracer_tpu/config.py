@@ -113,6 +113,9 @@ class RenderConfig:
                                   # mean ~17 passing lanes/cluster on
                                   # the outside pool), so a narrow
                                   # block beats compact_cap=128 there
+    flush_bins: bool = True       # TPU wavefront flush uses the dense
+                                  # bin-matmul kernel (ops/pallas/
+                                  # flush.py) instead of XLA scatter
     stream_worklist: bool = True  # TPU stream mode uses the worklist-
                                   # driven kernel (grid over ray tiles
                                   # only; per-tile fired-chunk lists

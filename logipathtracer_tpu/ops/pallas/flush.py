@@ -13,18 +13,20 @@ ascending):
 
   * the image is cut into BW-pixel bins; a searchsorted prepass finds
     each bin's contiguous row segment of the sorted tail;
-  * grid (bins,): each step DMAs its segment (128-aligned blocks of
-    ``cap`` rows), builds a [cap, BW] one-hot from the in-bin pixel
-    offsets, and accumulates ONE [cap, BW]^T x [cap, 3] matmul into
-    the bin's dense accum block — bf16 hi/mid/lo splits keep every f32
-    addend exact (same argument as compact_intersect._dot_onehot);
+  * grid (bins,): each step DMAs its segment (128-row-aligned blocks
+    of ``cap`` rows, major-dim slices of a [blocks, 4, 128] layout —
+    Mosaic forbids dynamic lane-dim DMA offsets), builds [BW, 128]
+    one-hots from the in-bin pixel offsets, and accumulates one small
+    matmul per 128-row sub-block into the bin's dense accum block —
+    bf16 hi/mid/lo splits keep every f32 addend exact (same argument
+    as compact_intersect._dot_onehot);
   * rows outside the bin (alignment padding, the slice's non-retired
     prefix, neighbours' rows) match no one-hot column, so alignment
     and masking are free.
 
-Cost is O(npix / BW) grid steps + O(retired rows / cap) matmul blocks
-— ~1-2 ms where the scatter paid 22 — and is independent of the pool
-size, which also caps the drain-tail iterations' maintenance cost.
+Cost is O(npix / BW) grid steps + O(retired rows / 128) sub-block
+matmuls — independent of the pool size, which also caps the
+drain-tail iterations' maintenance cost.
 
 TPU-only (manual DMA inside fori_loop has no interpreter support);
 the XLA scatter stays as the CPU/interpret twin and the n_flush >
@@ -44,51 +46,89 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _flush_kernel(s0_ref, nb_ref, ain_ref, tail_ref, aout_ref, tbuf, sem,
-                  *, bw: int, cap: int):
+                  *, bw: int, cap: int, nbins: int):
+    """Per-bin one-hot accumulate with CROSS-STEP DMA prefetch: each
+    grid step waits the block its predecessor started (the scratch
+    persists across steps), then immediately starts the next bin's
+    first block — so the typical one-block bin never exposes DMA
+    latency (a synchronous per-bin start+wait measured 41 us/bin,
+    barely beating the scatter it replaces)."""
     b = pl.program_id(0)
-    aout_ref[...] = ain_ref[...]
     n = nb_ref[b]
-    base = s0_ref[b]
-    iota_bw = jax.lax.broadcasted_iota(jnp.float32, (1, bw), 1)
-    binf = jax.lax.convert_element_type(b * bw, jnp.float32)
+    sub = cap // 128
 
+    def first_dma(bb, slot):
+        return pltpu.make_async_copy(
+            tail_ref.at[pl.ds(s0_ref[bb], sub)], tbuf.at[slot],
+            sem.at[slot])
+
+    @pl.when(b == 0)
+    def _():
+        first_dma(0, 0).start()
+
+    @pl.when(b + 1 < nbins)
+    def _():
+        first_dma(b + 1, (b + 1) % 2).start()
+
+    aout_ref[...] = ain_ref[...]
+
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (bw, 1), 0).astype(
+        jnp.float32)
+    binf = jax.lax.convert_element_type(b * bw, jnp.float32)
+    slot0 = b % 2
+    first_dma(b, slot0).wait()
+
+    def block(slot, acc0):
+        contrib = acc0
+        for s in range(sub):
+            # row 3 holds the pixel id as an exact f32 (-1 = skip);
+            # rows outside this bin match no one-hot row.
+            pix_rel = tbuf[slot, s, 3:4, :] - binf        # [1, 128]
+            ohb = (iota_bw == pix_rel).astype(jnp.bfloat16)  # [BW, 128]
+            acc = tbuf[slot, s, 0:3, :]                   # [3, 128]
+            ah = acc.astype(jnp.bfloat16)
+            r1 = acc - ah.astype(jnp.float32)
+            am = r1.astype(jnp.bfloat16)
+            al = (r1 - am.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(x):
+                return jax.lax.dot_general(
+                    ohb, x, dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)   # [BW, 3]
+
+            contrib = contrib + dot(ah) + dot(am) + dot(al)
+        return contrib
+
+    @pl.when(n > 0)
+    def _():
+        aout_ref[...] += block(slot0, jnp.zeros((bw, 3), jnp.float32))
+
+    # long segments (> cap rows in one bin): rare, serial extra blocks
+    # through a third scratch slot so the prefetch slots stay clean
     def body(j, _):
         dma = pltpu.make_async_copy(
-            tail_ref.at[pl.ds(base + j * cap, cap)], tbuf, sem)
+            tail_ref.at[pl.ds(s0_ref[b] + j * sub, sub)], tbuf.at[2],
+            sem.at[2])
         dma.start()
         dma.wait()
-        # col 3 holds the pixel id as an exact f32 value (-1 = not
-        # retired); rows outside this bin match no column.
-        pix_rel = tbuf[:, 3:4] - binf                     # [cap, 1]
-        ohb = (pix_rel == iota_bw).astype(jnp.bfloat16)   # [cap, BW]
-        acc = tbuf[:, 0:3]                                # [cap, 3]
-        ah = acc.astype(jnp.bfloat16)
-        r1 = acc - ah.astype(jnp.float32)
-        am = r1.astype(jnp.bfloat16)
-        al = (r1 - am.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def dot(x):
-            return jax.lax.dot_general(
-                ohb, x, dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)       # [BW, 3]
-
-        aout_ref[...] += dot(ah) + dot(am) + dot(al)
+        aout_ref[...] += block(2, jnp.zeros((bw, 3), jnp.float32))
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(1, n, body, 0)
 
 
 def flush_bin_segments(pix_sorted, npix: int, bw: int, cap: int):
-    """Searchsorted prepass: per-bin 128-aligned block starts and
-    block counts over the ascending (-1-prefixed) pixel-id tail."""
+    """Searchsorted prepass: per-bin 128-row-aligned block starts (in
+    128-row units) and cap-block counts over the ascending
+    (-1-prefixed) pixel-id tail."""
     nbins = -(-npix // bw)
     bounds = jnp.arange(nbins + 1, dtype=pix_sorted.dtype) * bw
     edges = jnp.searchsorted(pix_sorted, bounds, side="left")
     start_al = (edges[:-1] // 128) * 128
     nb = jnp.maximum(edges[1:] - start_al, 0)
     nb = (nb + cap - 1) // cap
-    return start_al.astype(jnp.int32), nb.astype(jnp.int32)
+    return (start_al // 128).astype(jnp.int32), nb.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "cap"))
@@ -110,31 +150,37 @@ def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512):
         accum = jnp.concatenate(
             [accum, jnp.zeros((pad, 3), accum.dtype)], axis=0)
 
-    # [FC + cap, 4]: acc.xyz + pixel id as exact f32 (npix < 2^24)
+    # component-major tail (acc.xyz + pixel id as exact f32; npix <
+    # 2^24), padded by one cap block and reshaped to [blocks, 4, 128]
+    # so the kernel's DMA slices the MAJOR dim
+    fcp = -(-(fc + cap) // cap) * cap
     tail4 = jnp.concatenate(
-        [acc_tail, pix_tail.astype(jnp.float32)[:, None]], axis=1)
+        [acc_tail.T, pix_tail.astype(jnp.float32)[None, :]], axis=0)
     tail4 = jnp.concatenate(
-        [tail4, jnp.full((cap, 4), -1.0, jnp.float32)], axis=0)
+        [tail4, jnp.full((4, fcp - fc), -1.0, jnp.float32)], axis=1)
+    tail3 = tail4.reshape(4, fcp // 128, 128).transpose(1, 0, 2)
 
     s0, nb = flush_bin_segments(pix_tail, nbins * bw, bw, cap)
 
     out = pl.pallas_call(
-        functools.partial(_flush_kernel, bw=bw, cap=cap),
+        functools.partial(_flush_kernel, bw=bw, cap=cap, nbins=nbins),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # (s0, nb)
             grid=(nbins,),
             in_specs=[
                 pl.BlockSpec((bw, 3), lambda b, s, n: (b, 0),
                              memory_space=pltpu.VMEM),    # accum in
-                pl.BlockSpec(memory_space=pl.ANY),        # tail4 (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),        # tail3 (HBM)
             ],
             out_specs=pl.BlockSpec((bw, 3), lambda b, s, n: (b, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((cap, 4), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                # slots 0/1: cross-step prefetch ping-pong; slot 2:
+                # serial extra blocks of long segments
+                pltpu.VMEM((3, cap // 128, 4, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nbins * bw, 3), jnp.float32),
-    )(s0, nb, accum, tail4)
+    )(s0, nb, accum, tail3)
     return out[:npix]

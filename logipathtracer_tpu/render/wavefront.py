@@ -186,10 +186,8 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 prev_pdf = jnp.zeros((p,), jnp.float32)
 
             # ---- flush finished paths (a contiguous tail post-sort) --
-            # The retired lanes are exactly the LAST n_flush rows (sort
-            # key MAX), so any tail slice >= n_flush covers them all;
-            # a cond ladder picks the smallest power-of-two slice since
-            # the scatter-add costs ~90 ns/ROW regardless of content.
+            # The retired lanes are exactly the LAST n_flush rows
+            # (pixid-keyed, so the tail's scatter indices ascend).
             flush = pending & ~alive
             n_flush = jnp.sum(flush.astype(jnp.int32))
 
@@ -210,13 +208,35 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 return accum.at[pixid].add(
                     jnp.where(flush[:, None], acc, 0.0))
 
-            caps = [c for c in (flush_cap // 4, flush_cap // 2, flush_cap)
-                    if 0 < c < p]
-            accum_fn = flush_full
-            for c in reversed(caps):
-                accum_fn = (lambda accum, c=c, nxt=accum_fn: jax.lax.cond(
-                    n_flush <= c, flush_tail(c), nxt, accum))
-            accum = accum_fn(accum)
+            use_bins = (cfg.flush_bins
+                        and jax.default_backend() == "tpu"
+                        and npix < (1 << 24))  # exact-f32 pixel ids
+
+            if use_bins:
+                # Dense bin-matmul flush kernel (ops/pallas/flush.py):
+                # O(npix/BW) grid + O(retired rows/128) matmul blocks
+                # instead of ~110-370 ns/row scatter.  The searchsorted
+                # prepass skips the -1 (non-retired) prefix entirely,
+                # so covering the FULL sorted pool costs the same as a
+                # tail slice — no burst-iteration fallback needed (the
+                # scatter fallback spiked 42 ms whenever a retire burst
+                # overflowed the tail cap; measured stage_profile r3).
+                from logipathtracer_tpu.ops.pallas.flush import flush_bins
+
+                accum = flush_bins(
+                    accum, jnp.where(flush, pixid, -1), acc)
+            else:
+                # XLA cond ladder: smallest power-of-two tail slice
+                # covering the retired rows (scatter cost is per-row).
+                caps = [c for c in
+                        (flush_cap // 4, flush_cap // 2, flush_cap)
+                        if 0 < c < p]
+                accum_fn = flush_full
+                for c in reversed(caps):
+                    accum_fn = (
+                        lambda accum, c=c, nxt=accum_fn: jax.lax.cond(
+                            n_flush <= c, flush_tail(c), nxt, accum))
+                accum = accum_fn(accum)
             # Every branch (incl. the full fallback) covers all retired
             # rows, so the pending clear is unconditional.
             pending = pending & ~flush

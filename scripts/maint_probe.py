@@ -129,6 +129,19 @@ def main():
               f"({dt / p * 1e9:5.1f} ns/row, "
               f"{2 * p * 17 * 4 / dt / 2**30:.0f} GiB/s)", flush=True)
 
+        # bin-matmul flush kernel vs the P/8-row sorted scatter above
+        if jax.default_backend() == "tpu":
+            from logipathtracer_tpu.ops.pallas.flush import flush_bins
+            fc = p // 4
+            nret = p // 8
+            pixs = jnp.concatenate([
+                jnp.full((fc - nret,), -1, jnp.int32),
+                jnp.sort(pixid[:nret])])
+            f_fb = jax.jit(lambda a, pid, v: flush_bins(a, pid, v[:fc]))
+            dt = timeit(f_fb, accum, pixs, acc3)
+            print(f"flush_bins P/8 rows:     {dt * 1e3:7.2f} ms "
+                  f"({dt / nret * 1e9:5.1f} ns/row)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--pool", type=int, default=1 << 20)
     ap.add_argument("--dump", default=None,
                     help="npz path: save post-sort pool rays per iteration")
+    ap.add_argument("--sort-split", action="store_true",
+                    help="also time key/sortkv/gather separately")
     args = ap.parse_args()
 
     from logipathtracer_tpu.scene.compile import compile_scene
@@ -132,6 +134,29 @@ def main():
                 bi(packed[:, 15]))
 
     @jax.jit
+    def sort_key_only(origin, direction, alive, pending, pixid):
+        retired = pending & ~alive
+        return jnp.where(alive, ray_sort_key(scene, origin, direction),
+                         jnp.where(retired, (1 << 18) + 1 + pixid,
+                                   1 << 18))
+
+    @jax.jit
+    def sort_perm_only(key):
+        return jax.lax.sort_key_val(key, jnp.arange(p, dtype=jnp.int32))[1]
+
+    @jax.jit
+    def sort_gather_only(perm, origin, direction, mask, acc, seed,
+                         alive, pending, prev_pdf, bounce, pixid):
+        bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        packed = jnp.concatenate([
+            origin, direction, mask, acc, bf(seed.astype(jnp.int32)),
+            bf(bounce)[:, None], bf(pixid)[:, None],
+            bf(alive.astype(jnp.int32))[:, None],
+            bf(pending.astype(jnp.int32))[:, None],
+            prev_pdf[:, None]], axis=1)
+        return jnp.take(packed, perm, axis=0)
+
+    @jax.jit
     def intersect(origin, direction):
         return isect(scene, origin, direction, eps=cfg.eps)
 
@@ -143,14 +168,23 @@ def main():
                           prev_pdf=prev_pdf, isect=isect, rand=rand)
 
     flush_cap = min(p, 1 << 18)
+    use_bins = (cfg.flush_bins and jax.default_backend() == "tpu"
+                and npix < (1 << 24))
 
     @jax.jit
     def flush(accum, pixid, pending, alive, acc):
-        """Mirrors the production tail-slice cond ladder + sorted-
-        indices scatter (wavefront.py::flush_tail); runs on the SORTED
-        state (retired = pool tail), like production."""
+        """Mirrors the production flush (wavefront.py): the dense
+        bin-matmul kernel on TPU, else the tail-slice cond ladder +
+        sorted-indices scatter; runs on the SORTED state (retired =
+        pool tail), like production."""
         fl = pending & ~alive
         n_flush = jnp.sum(fl.astype(jnp.int32))
+
+        if use_bins:
+            from logipathtracer_tpu.ops.pallas.flush import flush_bins
+
+            accum = flush_bins(accum, jnp.where(fl, pixid, -1), acc)
+            return accum, pending & alive
 
         def flush_tail(cap_k):
             def f(accum):
@@ -219,6 +253,18 @@ def main():
     for it in range(args.iters):
         # Production body order (wavefront.py): sort -> flush (tail of
         # the sorted pool) -> regen (+ park) -> isect -> shade.
+        if args.sort_split:
+            # side measurements on the same pre-sort state (state still
+            # evolves through the combined sort_pool below)
+            dtk, key = timed(sort_key_only, origin, direction, alive,
+                             pending, pixid)
+            dtp, perm = timed(sort_perm_only, key)
+            dtg, _ = timed(sort_gather_only, perm, origin, direction,
+                           mask, acc, seed, alive, pending, prev_pdf,
+                           bounce, pixid)
+            print(f"    sort split: key {dtk*1e3:5.1f}  "
+                  f"sortkv {dtp*1e3:5.1f}  gather {dtg*1e3:5.1f}",
+                  flush=True)
         dt, out = timed(sort_pool, origin, direction, mask, acc, seed,
                         alive, pending, prev_pdf, bounce, pixid)
         (origin, direction, mask, acc, seed, alive, pending, prev_pdf,

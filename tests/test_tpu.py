@@ -141,3 +141,33 @@ def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
     tws, tgs = np.asarray(tws), np.asarray(tgs)
     neq = int((tws != tgs).sum())
     assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
+
+
+def test_flush_bins_matches_scatter_on_hardware(rng):
+    """Dense bin-matmul flush (ops/pallas/flush.py) vs XLA scatter-add
+    on a realistic pixid-sorted retired tail: identical accumulation
+    up to addition-order ULPs (tested exactly, since each pixel's
+    addends arrive in ascending-row order in both)."""
+    from logipathtracer_tpu.ops.pallas.flush import flush_bins
+
+    npix = 1 << 18
+    fc = 1 << 16
+    n_retired = 40_000
+    pix = np.sort(rng.integers(0, npix, n_retired)).astype(np.int32)
+    pix_tail = np.full((fc,), -1, np.int32)
+    pix_tail[fc - n_retired:] = pix
+    acc = rng.random((fc, 3), np.float32)
+    accum0 = rng.random((npix, 3), np.float32)
+
+    got = flush_bins(jnp.asarray(accum0), jnp.asarray(pix_tail),
+                     jnp.asarray(acc))
+    want = jnp.asarray(accum0).at[jnp.where(
+        jnp.asarray(pix_tail) >= 0, jnp.asarray(pix_tail), 0)].add(
+        jnp.where(jnp.asarray(pix_tail)[:, None] >= 0,
+                  jnp.asarray(acc), 0.0), indices_are_sorted=True)
+    got, want = np.asarray(got), np.asarray(want)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    # untouched pixels must be BIT-identical (pure copy path)
+    touched = np.zeros(npix, bool)
+    touched[pix] = True
+    assert (got[~touched] == accum0[~touched]).all()
