@@ -140,11 +140,16 @@ def main(argv=None) -> int:
     if not args.quick:
         from logipathtracer_tpu.scene.procedural import (make_box_scene,
                                                          make_outside_scene)
+        # 16-sample timed chunks: at 512^2 a 4-sample chunk equals the
+        # 1M-lane pool, so the whole measurement is pool fill + drain
+        # tail; 16 samples measures the steady state the progressive
+        # accumulation actually runs at (cornell times 16-spp chunks
+        # at 1024^2 for the same reason).
         try:
             outside_mrays = round(_scene_mrays(
                 make_outside_scene(),
                 RenderConfig(width=512, height=512, max_depth=10),
-                samples=4), 3)
+                samples=16), 3)
         except Exception as e:  # record, don't sink the headline metric
             outside_mrays = f"error: {e}"[:200]
         try:
@@ -152,7 +157,7 @@ def main(argv=None) -> int:
                 make_box_scene(spheres=6, subdiv=3, textured=True),
                 RenderConfig(width=512, height=512, max_depth=10,
                              nee=True),
-                samples=4), 3)
+                samples=16), 3)
         except Exception as e:
             nee_tex_mrays = f"error: {e}"[:200]
 
