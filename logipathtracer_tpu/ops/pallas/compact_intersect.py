@@ -161,45 +161,70 @@ def _roll_prefix_consts(g_n: int, cap: int, tile: int):
 def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
-                                 eps: float, fast: bool = True):
+                                 eps: float, fast: bool = True,
+                                 ablate: str = ""):
     """rank_mode='roll' variant of _compact_cluster_update: log-step
     roll prefix sums in the natural [G, 128] layout and ONE transposed
     [cap, tile] one-hot per block — no transpose matmuls, no per-group
     loops (measured vs the matmul-rank form on real workloads via
-    scripts/compact_probe.py --rank)."""
+    scripts/compact_probe.py --rank).
+
+    ``ablate`` (probe-only, wrong results): 'norank' skips the roll
+    prefix chain; 'ksmall' builds the one-hot and runs the gather/
+    scatter matmuls over a 128-lane K instead of K=tile (the upper
+    bound of any group-windowed gather); 'nomt' replaces the MT with a
+    2-op dummy.  Used by scripts/compact_probe.py --ablate to split
+    the per-fired-cluster cost on hardware."""
     lane_iota, sub_iota, iota_cap_t = rconsts
     tile = g_n * 128
     h2 = hit.astype(jnp.float32).reshape(g_n, 128)
-    inc = h2
-    k = 1
-    while k < 128:
-        inc = inc + jnp.where(lane_iota >= k,
-                              pltpu.roll(inc, k, axis=1), 0.0)
-        k *= 2
-    colex = inc - h2                       # exclusive, within each row
-    tot = inc[:, 127:128]                  # [G, 1] row totals
-    ro = tot
-    k = 1
-    while k < g_n:
-        ro = ro + jnp.where(sub_iota >= k, pltpu.roll(ro, k, axis=0), 0.0)
-        k *= 2
-    n = ro[g_n - 1, 0]
-    ro = ro - tot                          # exclusive row offsets
-    # Fold the hit mask into the rank (-1 on non-hit lanes): the
-    # per-block one-hot then needs only ONE compare + bf16 cast over
-    # [cap, tile] instead of sub/cmp/and/cast.
-    rank_flat = jnp.where(h2 > 0.5, colex + ro, -1.0).reshape(1, tile)
+    if ablate == "norank":
+        rank_flat = jnp.broadcast_to(
+            lane_iota[0:1, :].astype(jnp.float32), (1, 128))
+        rank_flat = jnp.concatenate([rank_flat] * g_n, axis=1)
+        n = jnp.sum(h2)
+    else:
+        inc = h2
+        k = 1
+        while k < 128:
+            inc = inc + jnp.where(lane_iota >= k,
+                                  pltpu.roll(inc, k, axis=1), 0.0)
+            k *= 2
+        colex = inc - h2                   # exclusive, within each row
+        tot = inc[:, 127:128]              # [G, 1] row totals
+        ro = tot
+        k = 1
+        while k < g_n:
+            ro = ro + jnp.where(sub_iota >= k,
+                                pltpu.roll(ro, k, axis=0), 0.0)
+            k *= 2
+        n = ro[g_n - 1, 0]
+        ro = ro - tot                      # exclusive row offsets
+        # Fold the hit mask into the rank (-1 on non-hit lanes): the
+        # per-block one-hot then needs only ONE compare + bf16 cast
+        # over [cap, tile] instead of sub/cmp/and/cast.
+        rank_flat = jnp.where(h2 > 0.5, colex + ro, -1.0).reshape(1, tile)
     nb = jax.lax.convert_element_type(
         jnp.ceil(n * (1.0 / cap)), jnp.int32)
     feats3 = _split3(feats6)               # [18, tile] bf16
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
-        rank_sh = rank_flat - basef                      # [1, tile]
-        p_t = (rank_sh == iota_cap_t).astype(jnp.bfloat16)  # [cap, tile]
-        acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
-        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
-                        acc[5], trib, eps, fast=fast)    # [cap, S]
+        if ablate == "ksmall":
+            rank_sh = rank_flat[:, 0:128] - basef        # [1, 128]
+            p_t = (rank_sh == iota_cap_t[:, 0:128]).astype(
+                jnp.bfloat16)                            # [cap, 128]
+            acc = _dot_onehot(feats3[:, 0:128], p_t, 6, ((1,), (1,)))
+        else:
+            rank_sh = rank_flat - basef                  # [1, tile]
+            p_t = (rank_sh == iota_cap_t).astype(
+                jnp.bfloat16)                            # [cap, tile]
+            acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
+        if ablate == "nomt":
+            t = acc[0][:, None] + trib[0][None, 0:lanes]  # [cap, S] dummy
+        else:
+            t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                            acc[5], trib, eps, fast=fast)  # [cap, S]
         ok = t > eps
         t = jnp.where(ok, t, BIG)
         tmin = jnp.min(t, axis=1)
@@ -210,7 +235,11 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
             tmin[None, :],
             jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
             hitf.astype(jnp.float32)[None, :]], axis=0)  # [3, cap]
-        out_all = _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+        if ablate == "ksmall":
+            out_small = _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+            out_all = jnp.concatenate([out_small] * g_n, axis=1)
+        else:
+            out_all = _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
         for g in range(g_n):
             sl = slice(g * 128, (g + 1) * 128)
             du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])
@@ -311,7 +340,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
                     best_tri, best_obj, *, num_objects: int,
                     num_clusters: int, eps: float, tile: int, lanes: int,
                     cap: int, has_tmax: bool, mxu: bool = False,
-                    fast: bool = True, rank_mode: str = "matmul"):
+                    fast: bool = True, rank_mode: str = "matmul",
+                    ablate: str = ""):
     g_n = tile // 128
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -341,7 +371,11 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
 
     def cl_body(ci, _):
         c = order_ref[oct_, ci]
-        obj = meta_ref[0, c]
+        # floor micro-ablations (probe-only; see --ablate in
+        # scripts/compact_probe.py): fB pins the dynamic object index,
+        # fC pins the SMEM AABB reads, fA drops the best_t read from
+        # the slab, fD replaces the slab math with 1 op.
+        obj = meta_ref[0, c] * 0 if ablate == "fB" else meta_ref[0, c]
         tri_base = meta_ref[1, c]
         lox = lray[obj, 0, :]
         loy = lray[obj, 1, :]
@@ -349,13 +383,36 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
         ldx = lray[obj, 3, :]
         ldy = lray[obj, 4, :]
         ldz = lray[obj, 5, :]
-        amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
-        amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
-        bt_flat = best_t[:].reshape(tile)
-        hit = _slab_inv(lox, loy, loz, lray[obj, 6, :], lray[obj, 7, :],
-                        lray[obj, 8, :], amin, amax, bt_flat)
+        if ablate == "fC":
+            amin = (-1e30, -1e30, -1e30)
+            amax = (aabb_ref[3, 0], aabb_ref[4, 0], aabb_ref[5, 0])
+        else:
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+        if ablate == "fA":
+            bt_flat = jnp.full((tile,), BIG)
+        else:
+            bt_flat = best_t[:].reshape(tile)
+        if ablate == "fD":
+            hit = lox < amin[0]
+        else:
+            hit = _slab_inv(lox, loy, loz, lray[obj, 6, :],
+                            lray[obj, 7, :], lray[obj, 8, :], amin, amax,
+                            bt_flat)
 
-        @pl.when(jnp.any(hit))
+        # 'noupd' floor probe: a data-dependent never-true predicate
+        # (best_t stays positive) keeps the slab + branch machinery
+        # but never runs the update.  'noskip' runs the update for
+        # EVERY cluster (correct results; isolates the any-reduce +
+        # branch cost vs the extra updates).
+        if ablate in ("noupd", "fA", "fB", "fC", "fD"):
+            pred = jnp.any(hit) & (best_t[0, 0] < 0.0)
+        elif ablate == "noskip":
+            pred = best_t[0, 0] > 0.0
+        else:
+            pred = jnp.any(hit)
+
+        @pl.when(pred)
         def _():
             # The MXU-MT option keeps the matmul-rank update (it is an
             # off-by-default measured-slower path; no need for both
@@ -364,7 +421,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
                 _compact_cluster_update_roll(
                     hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
                     obj, best_t, best_tri, best_obj, consts, slot_ids,
-                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast)
+                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
+                    ablate=ablate)
             else:
                 centroid = (0.5 * (amin[0] + amax[0]),
                             0.5 * (amin[1] + amax[1]),
@@ -760,12 +818,13 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
-                                             "mxu", "rank_mode"))
+                                             "mxu", "rank_mode", "ablate"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
                               has_tmax: bool = False, mxu: bool = False,
-                              rank_mode: str = "matmul"):
+                              rank_mode: str = "matmul",
+                              ablate: str = ""):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -794,7 +853,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     kernel = functools.partial(
         _compact_kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
         lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
-        fast=not interpret, rank_mode=rank_mode)
+        fast=not interpret, rank_mode=rank_mode, ablate=ablate)
 
     outs = pl.pallas_call(
         kernel,

@@ -169,7 +169,8 @@ def cmd_bench(args):
     comp = lambda r8: cluster_intersect_compact(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
         scene.cl_mt if args.mxu else scene.cl_tris, r8, tile=args.tile,
-        cap=args.cap, mxu=args.mxu, rank_mode=args.rank)
+        cap=args.cap, mxu=args.mxu, rank_mode=args.rank,
+        ablate=args.ablate)
 
     workloads = (("primary", (o, d)), ("scrambled", (o_s, d_s)))
     if args.workload != "both":
@@ -207,6 +208,10 @@ if __name__ == "__main__":
                          "sweep's cluster=128 compile is pathological)")
     ap.add_argument("--rank", default="matmul",
                     choices=["matmul", "roll"])
+    ap.add_argument("--ablate", default="",
+                    choices=["", "norank", "ksmall", "nomt", "noupd",
+                             "noskip", "fA", "fB", "fC", "fD"],
+                    help="probe-only kernel ablation (WRONG results)")
     ap.add_argument("--mxu", action="store_true",
                     help="compact kernel: bilinear MXU Moller-Trumbore")
     args = ap.parse_args()
