@@ -96,6 +96,17 @@ class RenderConfig:
                                   # roll prefix sums + one transposed
                                   # one-hot; round-3 winner) | matmul
                                   # (0/1-matmul ranks, round-2 form)
+    fill_fast: bool = False       # compact sweep: approx-reciprocal +
+                                  # Newton local-ray fill instead of 3
+                                  # exact divides per object (TPU-only;
+                                  # perturbs slab culls by <= 1 ulp —
+                                  # same near-tie class as fast 1/det)
+    compact_worklist: bool = True  # resident compact sweep visits only
+                                  # per-tile fired clusters (XLA world-
+                                  # AABB prepass, scalar-prefetched
+                                  # lists) instead of all clusters with
+                                  # an in-kernel skip; parked/retired
+                                  # tiles cost zero cluster steps
     mt_mxu: bool = False          # compact sweep: run each block's
                                   # Moller-Trumbore as ONE MXU matmul
                                   # on the bilinear feature form

@@ -42,6 +42,15 @@ def _fast_recip(x):
     return r * (2.0 - x * r)
 
 
+def _guarded_recip(x):
+    """_fast_recip with exact zeros guarded (axis-aligned directions):
+    the Newton step is inf*(2 - 0*inf) = NaN there; keeping the raw
+    approx inf preserves the slab test's IEEE divide semantics.  Use
+    for slab-cull reciprocals; 1/det paths gate NaN as a miss anyway."""
+    r = pl.reciprocal(x, approx=True)
+    return jnp.where(x == 0.0, r, r * (2.0 - x * r))
+
+
 def _mt_cluster(lox, loy, loz, ldx, ldy, ldz, trib, eps, fast: bool = False):
     """Dense Möller-Trumbore: rays [T] (components) x cluster [9, S].
 
@@ -106,9 +115,15 @@ def _slab_inv(lox, loy, loz, inv_x, inv_y, inv_z, amin, amax, best_t):
 
 
 def _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
-                     num_objects: int):
+                     num_objects: int, fast: bool = False):
     """Per-object local rays + reciprocal directions into the
-    [O, 9, T] scratch (rows: o.xyz, d.xyz, 1/d.xyz)."""
+    [O, 9, T] scratch (rows: o.xyz, d.xyz, 1/d.xyz).
+
+    ``fast`` swaps the three exact divides for _fast_recip (kernel-
+    only).  The reciprocals feed only the slab CULL tests, whose ~1-ulp
+    perturbation can flip a hit only when a triangle intersection lies
+    within 1 ulp of its cluster's AABB face — the same near-tie class
+    the probe's sweep-vs-compact comparison already tolerates."""
 
     def obj_body(o, _):
         m = [inv_ref[o, k] for k in range(12)]
@@ -121,9 +136,14 @@ def _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
         lray[o, 3, :] = ldx
         lray[o, 4, :] = ldy
         lray[o, 5, :] = ldz
-        lray[o, 6, :] = 1.0 / ldx
-        lray[o, 7, :] = 1.0 / ldy
-        lray[o, 8, :] = 1.0 / ldz
+        if fast:
+            lray[o, 6, :] = _guarded_recip(ldx)
+            lray[o, 7, :] = _guarded_recip(ldy)
+            lray[o, 8, :] = _guarded_recip(ldz)
+        else:
+            lray[o, 6, :] = 1.0 / ldx
+            lray[o, 7, :] = 1.0 / ldy
+            lray[o, 8, :] = 1.0 / ldz
         return 0
 
     jax.lax.fori_loop(0, num_objects, obj_body, 0)
@@ -316,7 +336,7 @@ def _local_ray(inv_ref, obj, ox, oy, oz, dx, dy, dz, fast: bool):
     ldx = m[0] * dx + m[1] * dy + m[2] * dz
     ldy = m[4] * dx + m[5] * dy + m[6] * dz
     ldz = m[8] * dx + m[9] * dy + m[10] * dz
-    rcp = _fast_recip if fast else (lambda x: 1.0 / x)
+    rcp = _guarded_recip if fast else (lambda x: 1.0 / x)
     return lox, loy, loz, ldx, ldy, ldz, rcp(ldx), rcp(ldy), rcp(ldz)
 
 

@@ -335,13 +335,17 @@ def _compact_cluster_update(hit, feats6, trib, tri_base, obj, best_t,
     jax.lax.fori_loop(0, nb, block_body, 0)
 
 
-def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
-                    tris_ref, t_out, tri_out, obj_out, lray, best_t,
-                    best_tri, best_obj, *, num_objects: int,
-                    num_clusters: int, eps: float, tile: int, lanes: int,
-                    cap: int, has_tmax: bool, mxu: bool = False,
-                    fast: bool = True, rank_mode: str = "matmul",
-                    ablate: str = ""):
+def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
+                  aabb_ref, tris_ref, t_out, tri_out, obj_out, lray,
+                  best_t, best_tri, best_obj, *, num_objects: int,
+                  eps: float, tile: int, lanes: int,
+                  cap: int, has_tmax: bool, mxu: bool = False,
+                  fast: bool = True, rank_mode: str = "matmul",
+                  ablate: str = "", fill_fast: bool = False):
+    """Shared body of the resident compaction kernels: sweep the
+    clusters yielded by ``get_cluster(ci)`` for ci < ``trip`` (octant
+    front-to-back order in _compact_kernel; a per-tile fired-cluster
+    worklist in _compact_wl_kernel)."""
     g_n = tile // 128
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -350,7 +354,12 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     dy = rays_ref[4, :]
     dz = rays_ref[5, :]
 
-    _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz, num_objects)
+    if ablate not in ("nofill", "floor0"):
+        _fill_local_rays(
+            lray, inv_ref, ox, oy, oz, dx, dy, dz, num_objects,
+            fast=(fill_fast or ablate == "fillfast") and fast)
+    if ablate == "floor0":
+        trip = 0  # dispatch skeleton: init + outputs only
 
     # t_max (NEE shadow) rays clamp to BIG: padded lanes carry INF,
     # which is not matmul-safe (see BIG above); min() keeps semantics
@@ -365,12 +374,8 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
     consts = (_roll_prefix_consts(g_n, cap, tile) if use_roll
               else _prefix_consts(g_n))
 
-    oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
-            + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
-            + (rays_ref[5, 0] > 0.0).astype(jnp.int32))
-
     def cl_body(ci, _):
-        c = order_ref[oct_, ci]
+        c = get_cluster(ci)
         # floor micro-ablations (probe-only; see --ablate in
         # scripts/compact_probe.py): fB pins the dynamic object index,
         # fC pins the SMEM AABB reads, fA drops the best_t read from
@@ -405,7 +410,7 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
         # but never runs the update.  'noskip' runs the update for
         # EVERY cluster (correct results; isolates the any-reduce +
         # branch cost vs the extra updates).
-        if ablate in ("noupd", "fA", "fB", "fC", "fD"):
+        if ablate in ("noupd", "nofill", "fA", "fB", "fC", "fD"):
             pred = jnp.any(hit) & (best_t[0, 0] < 0.0)
         elif ablate == "noskip":
             pred = best_t[0, 0] > 0.0
@@ -435,11 +440,39 @@ def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, num_clusters, cl_body, 0)
+    jax.lax.fori_loop(0, trip, cl_body, 0)
 
     t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
     tri_out[0] = best_tri[:]
     obj_out[0] = best_obj[:]
+
+
+def _compact_kernel(meta_ref, inv_ref, order_ref, rays_ref, aabb_ref,
+                    tris_ref, t_out, tri_out, obj_out, lray, best_t,
+                    best_tri, best_obj, *, num_clusters: int, **kw):
+    oct_ = ((rays_ref[3, 0] > 0.0).astype(jnp.int32) * 4
+            + (rays_ref[4, 0] > 0.0).astype(jnp.int32) * 2
+            + (rays_ref[5, 0] > 0.0).astype(jnp.int32))
+    _compact_loop(lambda ci: order_ref[oct_, ci], num_clusters,
+                  meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
+                  t_out, tri_out, obj_out, lray, best_t, best_tri,
+                  best_obj, **kw)
+
+
+def _compact_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, rays_ref,
+                       aabb_ref, tris_ref, t_out, tri_out, obj_out, lray,
+                       best_t, best_tri, best_obj, **kw):
+    """Worklist-driven resident sweep: the XLA prepass
+    (build_chunk_worklists over per-cluster world AABBs) hands each
+    ray tile its fired clusters front-to-back; the in-kernel trip
+    count is the tile's fired count (zero for parked/retired tiles),
+    so the ~60 of 85 per-tile dead slab steps the octant sweep pays
+    (ROADMAP round-3 ablation split) never issue."""
+    i = pl.program_id(0)
+    _compact_loop(lambda ci: wl_ref[i, ci], wn_ref[i],
+                  meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
+                  t_out, tri_out, obj_out, lray, best_t, best_tri,
+                  best_obj, **kw)
 
 
 def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
@@ -818,20 +851,40 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
-                                             "mxu", "rank_mode", "ablate"))
+                                             "mxu", "rank_mode", "ablate",
+                                             "worklist", "fill_fast"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
                               has_tmax: bool = False, mxu: bool = False,
                               rank_mode: str = "matmul",
-                              ablate: str = ""):
+                              ablate: str = "", worklist: bool = False,
+                              obj_world=None, fill_fast: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
     mxu=True: cl_tris must be the [C, 16, 4S] bilinear MT feature
     matrices (scene.cl_mt) and each fired cluster's triangle test runs
     as one MXU matmul (_mt_mxu) instead of the elementwise VPU form.
+
+    worklist=True (needs obj_world [O, 4, 4]): an XLA prepass slabs
+    every ray against per-cluster WORLD AABBs, any-reduces per ray
+    tile, and hands the kernel per-tile fired-cluster lists ordered
+    front-to-back along the tile's mean direction (scalar-prefetched).
+    The in-kernel sweep then visits only the conservative fired set
+    (~22 of 85 on scrambled cornell; zero on parked tiles) instead of
+    every cluster; the exact local-space slab still gates each update.
+    Cross-cluster near-ties (coplanar geometry) may resolve differently
+    than the octant order because the visit order differs.
     """
+    if worklist:
+        assert not mxu, "worklist form keeps the VPU MT update"
+        assert obj_world is not None
+        from logipathtracer_tpu.ops.pallas.cluster_intersect import (
+            chunk_world_bounds)
+        c0 = cl_tris.shape[0]
+        wmin, wmax = chunk_world_bounds(cl_meta, cl_aabb, obj_world,
+                                        c0, c0, 1)
     cl_meta = cl_meta.T      # [2, C]
     cl_aabb = cl_aabb.T      # [8, C]
     r = rays8.shape[1]
@@ -850,10 +903,52 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     sub = tile // 128
 
     grid = (r // tile,)
-    kernel = functools.partial(
-        _compact_kernel, num_objects=o, num_clusters=c, eps=eps, tile=tile,
-        lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
-        fast=not interpret, rank_mode=rank_mode, ablate=ablate)
+    common = dict(num_objects=o, eps=eps, tile=tile,
+                  lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
+                  fast=not interpret, rank_mode=rank_mode, ablate=ablate,
+                  fill_fast=fill_fast)
+    out_shape = [
+        jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+        jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((o, 9, tile), jnp.float32),       # local rays + 1/d
+        pltpu.VMEM((sub, 128), jnp.float32),         # best_t
+        pltpu.VMEM((sub, 128), jnp.int32),           # best_tri
+        pltpu.VMEM((sub, 128), jnp.int32),           # best_obj
+    ]
+
+    if worklist:
+        wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
+                                       has_tmax=has_tmax)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # (wl, wn)
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # inv
+                pl.BlockSpec((8, tile), lambda i, w, n: (0, i),
+                             memory_space=pltpu.VMEM),   # rays
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [C, 8]
+                pl.BlockSpec(cl_tris.shape, lambda i, w, n: (0, 0, 0),
+                             memory_space=pltpu.VMEM),   # tris
+            ],
+            out_specs=[
+                pl.BlockSpec((1, sub, 128), lambda i, w, n: (i, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3,
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            functools.partial(_compact_wl_kernel, **common),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(wl, wn, cl_meta, cl_inv, rays8, cl_aabb, cl_tris)
+        return (outs[0].reshape(r), outs[1].reshape(r),
+                outs[2].reshape(r))
+
+    kernel = functools.partial(_compact_kernel, num_clusters=c, **common)
 
     outs = pl.pallas_call(
         kernel,
@@ -876,17 +971,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
             pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((o, 9, tile), jnp.float32),   # local rays + 1/d
-            pltpu.VMEM((sub, 128), jnp.float32),     # best_t
-            pltpu.VMEM((sub, 128), jnp.int32),       # best_tri
-            pltpu.VMEM((sub, 128), jnp.int32),       # best_obj
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))

@@ -146,7 +146,8 @@ def _padded_inverses(scene):
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
                           t_max=None, cap: int = 128, mxu: bool = False,
-                          rank_mode: str = "roll"):
+                          rank_mode: str = "roll", worklist: bool = False,
+                          fill_fast: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -177,7 +178,10 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             scene.cl_mt if mxu else scene.cl_tris, rays8, tile=tile,
             cap=cap, eps=eps,
             interpret=(backend == "compact_interpret"),
-            has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode)
+            has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode,
+            worklist=worklist and not mxu,
+            obj_world=scene.obj_world if (worklist and not mxu) else None,
+            fill_fast=fill_fast)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

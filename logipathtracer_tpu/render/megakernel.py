@@ -126,7 +126,8 @@ def pick_intersect(cfg: RenderConfig, scene=None):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
             t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
-            rank_mode=cfg.compact_rank)
+            rank_mode=cfg.compact_rank, worklist=cfg.compact_worklist,
+            fill_fast=cfg.fill_fast)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max)

@@ -163,14 +163,38 @@ def cmd_bench(args):
               flush=True)
         return res
 
+    def make_comp(worklist, ablate):
+        return lambda r8: cluster_intersect_compact(
+            scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
+            scene.cl_mt if args.mxu else scene.cl_tris, r8,
+            tile=args.tile, cap=args.cap, mxu=args.mxu,
+            rank_mode=args.rank, ablate=ablate, worklist=worklist,
+            obj_world=scene.obj_world if worklist else None)
+
     base = lambda r8: cluster_intersect_pallas(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
         scene.cl_tris, r8, tile=args.tile)
-    comp = lambda r8: cluster_intersect_compact(
-        scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
-        scene.cl_mt if args.mxu else scene.cl_tris, r8, tile=args.tile,
-        cap=args.cap, mxu=args.mxu, rank_mode=args.rank,
-        ablate=args.ablate)
+    comp = make_comp(args.worklist, args.ablate)
+
+    if args.variants:
+        # In-process A/B matrix: isolated cross-process probe timings
+        # swing 9-40x on axon (CLAUDE.md); same-process interleaved
+        # repeats are the only trustworthy deltas.
+        specs = []
+        for spec in args.variants.split(","):
+            wl = spec.startswith("wl")
+            abl = spec.split(":", 1)[1] if ":" in spec else ""
+            specs.append((spec, make_comp(wl, abl)))
+        for label, (oo, dd) in (("primary", (o, d)),
+                                ("scrambled", (o_s, d_s))):
+            if args.workload not in ("both", label):
+                continue
+            rays8 = _pack(oo, dd, args.tile)
+            print(label, flush=True)
+            for rep in range(2):
+                for spec, fn in specs:
+                    run(f"{spec}#{rep}", fn, rays8)
+        return
 
     workloads = (("primary", (o, d)), ("scrambled", (o_s, d_s)))
     if args.workload != "both":
@@ -210,10 +234,20 @@ if __name__ == "__main__":
                     choices=["matmul", "roll"])
     ap.add_argument("--ablate", default="",
                     choices=["", "norank", "ksmall", "nomt", "noupd",
-                             "noskip", "fA", "fB", "fC", "fD"],
+                             "noskip", "nofill", "fillfast", "floor0",
+                             "fA", "fB", "fC", "fD"],
                     help="probe-only kernel ablation (WRONG results)")
     ap.add_argument("--mxu", action="store_true",
                     help="compact kernel: bilinear MXU Moller-Trumbore")
+    ap.add_argument("--worklist", action="store_true",
+                    help="compact kernel: per-tile fired-cluster lists "
+                         "from the world-AABB prepass")
+    ap.add_argument("--variants", default="",
+                    help="comma list of in-process A/B variants, each "
+                         "'wl'/'oct' with optional ':ablate' suffix "
+                         "(e.g. wl,wl:floor0,wl:noupd,oct); two "
+                         "interleaved reps each, overrides "
+                         "--worklist/--ablate")
     args = ap.parse_args()
     if args.mode == "exact":
         cmd_exact()

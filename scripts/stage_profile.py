@@ -36,12 +36,20 @@ def main():
                     help="npz path: save post-sort pool rays per iteration")
     ap.add_argument("--sort-split", action="store_true",
                     help="also time key/sortkv/gather separately")
+    ap.add_argument("--no-worklist", action="store_true",
+                    help="resident compact sweep: octant order over all "
+                         "clusters instead of per-tile fired lists")
+    ap.add_argument("--fill-fast", action="store_true",
+                    help="compact sweep: approx-reciprocal local-ray "
+                         "fill (probe; wrong by <=1 ulp on slab culls)")
     args = ap.parse_args()
 
     from logipathtracer_tpu.scene.compile import compile_scene
     from logipathtracer_tpu.scene.gltf import load_gltf
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
-                       shade=args.shade)
+                       shade=args.shade,
+                       compact_worklist=not args.no_worklist,
+                       fill_fast=args.fill_fast)
     if args.scene == "outside":
         from logipathtracer_tpu.scene.procedural import make_outside_scene
         scene = compile_scene(make_outside_scene(), cfg)

@@ -22,14 +22,17 @@ def _rays(scene, n, rng):
     return o, jnp.asarray(d)
 
 
-@pytest.mark.parametrize("cap,mxu", [(128, False), (256, False),
-                                     (128, True)])
-def test_compact_matches_bvh(cornell_scene, rng, cap, mxu):
+@pytest.mark.parametrize("cap,mxu,worklist", [(128, False, False),
+                                              (256, False, False),
+                                              (128, True, False),
+                                              (128, False, True)])
+def test_compact_matches_bvh(cornell_scene, rng, cap, mxu, worklist):
     s = cornell_scene
     o, d = _rays(s, 512, rng)
     tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
     tc, oc, rc = intersect_scene_sweep(s, o, d, backend="compact_interpret",
-                                       tile=256, cap=cap, mxu=mxu)
+                                       tile=256, cap=cap, mxu=mxu,
+                                       worklist=worklist)
     # The bilinear MXU form reassociates the MT arithmetic (centroid-
     # localized): slightly looser tolerance than the elementwise form.
     rtol = 1e-5 if mxu else 2e-6
@@ -43,7 +46,8 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, mxu):
     assert (tie | ~diff).all()
 
 
-def test_compact_tmax_shadow(cornell_scene, rng):
+@pytest.mark.parametrize("worklist", [False, True])
+def test_compact_tmax_shadow(cornell_scene, rng, worklist):
     """t_max queries must produce the same visibility predicate as the
     full closest-hit query (the NEE shadow-ray contract)."""
     s = cornell_scene
@@ -51,7 +55,8 @@ def test_compact_tmax_shadow(cornell_scene, rng):
     dist = jnp.asarray(rng.uniform(0.1, 2.0, 256).astype(np.float32))
     t_full, _, _ = jax.jit(intersect_scene)(s, o, d)
     t_lim, _, _ = intersect_scene_sweep(s, o, d, backend="compact_interpret",
-                                        tile=256, t_max=dist)
+                                        tile=256, t_max=dist,
+                                        worklist=worklist)
     vis_full = np.asarray(t_full) >= np.asarray(dist)
     vis_lim = np.asarray(t_lim) >= np.asarray(dist)
     np.testing.assert_array_equal(vis_full, vis_lim)
