@@ -62,6 +62,15 @@ BIG = 1e30
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _vmem_params(interpret: bool):
+    """Raise the Mosaic scoped-VMEM ceiling (default 16 MB): cap=256
+    blocks at tile=4096 need ~20 MB of stack for the [cap, tile]
+    one-hot intermediates (v5e has 128 MB; we use no deep pipeline
+    buffers that would compete)."""
+    return (None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=64 << 20))
+
+
 def _dotg(a, b, dims):
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                precision=_HI,
@@ -943,6 +952,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
             functools.partial(_compact_wl_kernel, **common),
             grid_spec=grid_spec,
             out_shape=out_shape,
+            compiler_params=_vmem_params(interpret),
             interpret=interpret,
         )(wl, wn, cl_meta, cl_inv, rays8, cl_aabb, cl_tris)
         return (outs[0].reshape(r), outs[1].reshape(r),
@@ -973,6 +983,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
         ],
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(cl_meta, cl_inv, cl_order, rays8, cl_aabb, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))

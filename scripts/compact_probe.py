@@ -163,11 +163,11 @@ def cmd_bench(args):
               flush=True)
         return res
 
-    def make_comp(worklist, ablate):
+    def make_comp(worklist, ablate, cap=None):
         return lambda r8: cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
             scene.cl_mt if args.mxu else scene.cl_tris, r8,
-            tile=args.tile, cap=args.cap, mxu=args.mxu,
+            tile=args.tile, cap=cap or args.cap, mxu=args.mxu,
             rank_mode=args.rank, ablate=ablate, worklist=worklist,
             obj_world=scene.obj_world if worklist else None)
 
@@ -182,9 +182,14 @@ def cmd_bench(args):
         # repeats are the only trustworthy deltas.
         specs = []
         for spec in args.variants.split(","):
-            wl = spec.startswith("wl")
-            abl = spec.split(":", 1)[1] if ":" in spec else ""
-            specs.append((spec, make_comp(wl, abl)))
+            body = spec
+            cap = None
+            if "@" in body:  # e.g. wl@64 = worklist with cap 64
+                body, cap_s = body.split("@", 1)
+                cap = int(cap_s)
+            wl = body.startswith("wl")
+            abl = body.split(":", 1)[1] if ":" in body else ""
+            specs.append((spec, make_comp(wl, abl, cap)))
         for label, (oo, dd) in (("primary", (o, d)),
                                 ("scrambled", (o_s, d_s))):
             if args.workload not in ("both", label):
@@ -230,8 +235,10 @@ if __name__ == "__main__":
     ap.add_argument("--skip-sweep", action="store_true",
                     help="time the compact kernel only (the sub-tile "
                          "sweep's cluster=128 compile is pathological)")
-    ap.add_argument("--rank", default="matmul",
-                    choices=["matmul", "roll"])
+    ap.add_argument("--rank", default="roll",
+                    choices=["matmul", "roll"],
+                    help="rank form (default matches production "
+                         "config.compact_rank)")
     ap.add_argument("--ablate", default="",
                     choices=["", "norank", "ksmall", "nomt", "noupd",
                              "noskip", "nofill", "fillfast", "floor0",

@@ -94,6 +94,36 @@ def main():
         print(f"sort_key_val i32:       {dt * 1e3:7.2f} ms "
               f"({dt / p * 1e9:5.1f} ns/row)", flush=True)
 
+        # Variadic sort: key + 17 payload columns in ONE lax.sort —
+        # the candidate replacement for sort_key_val + wide row gather
+        # (production sort stage).  Also measured on a nearly-sorted
+        # key (the steady-state pool is close to sorted already).
+        cols17 = tuple(x17[:, i] for i in range(17))
+        f_vs = jax.jit(lambda k, *cs: jax.lax.sort(
+            (k,) + cs, num_keys=1))
+        dt = timeit(f_vs, key, *cols17)
+        print(f"variadic sort 1k+17v:   {dt * 1e3:7.2f} ms "
+              f"({dt / p * 1e9:5.1f} ns/row)", flush=True)
+        key_ns = jnp.sort(key) + jnp.asarray(
+            rng.integers(0, 2, p), jnp.int32)  # nearly sorted
+        dt = timeit(f_vs, key_ns, *cols17)
+        print(f"  (near-sorted key):    {dt * 1e3:7.2f} ms "
+              f"({dt / p * 1e9:5.1f} ns/row)", flush=True)
+        f_g17 = jax.jit(lambda pr, x: jnp.take(x, pr, axis=0))
+        perm_ns = f_sort(key_ns)
+        dt = timeit(f_g17, perm_ns, x17)
+        print(f"row gather near-sorted: {dt * 1e3:7.2f} ms "
+              f"({dt / p * 1e9:5.1f} ns/row)", flush=True)
+
+        # Block-granularity gather: permute 8-row blocks as single
+        # [136]-wide rows (the block-sort candidate: 8x fewer rows).
+        xb = x17.reshape(p // 8, 8 * 17)
+        bperm = jnp.asarray(rng.permutation(p // 8), jnp.int32)
+        f_bg = jax.jit(lambda pr, x: jnp.take(x, pr, axis=0))
+        dt = timeit(f_bg, bperm, xb)
+        print(f"block gather [P/8,136]: {dt * 1e3:7.2f} ms "
+              f"({dt / p * 1e9:5.1f} ns/pool-row)", flush=True)
+
         for c in (17, 7, 4):
             f_g = jax.jit(lambda pr, x: jnp.take(x[:, :c], pr, axis=0))
             dt = timeit(f_g, perm, x17)
