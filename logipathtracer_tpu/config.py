@@ -142,6 +142,15 @@ class RenderConfig:
     shade_tile: int = 2048        # rays per Pallas shade tile
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
+    sort_variadic: bool = True    # wavefront sort carries the state
+                                  # columns as lax.sort payload
+                                  # operands (one variadic sort) vs
+                                  # sort_key_val + one wide row gather
+                                  # (round-2 form).  Measured EQUAL on
+                                  # v5e (XLA lowers payload sorts to
+                                  # key-sort + per-operand gathers);
+                                  # kept for the simpler graph.  Same
+                                  # stable permutation either way.
     sort_every: int = 1           # wavefront: sort/flush every k-th
                                   # iteration (alive coherence decays
                                   # slowly; >1 trades stale order for

@@ -156,34 +156,66 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 alive, ray_sort_key(scene, origin, direction),
                 jnp.where(retired, (1 << 18) + 1 + pixid, 1 << 18))
             # bounce (< 2^16), alive, pending share one int row — the
-            # sort's wide gather is the cost, so pack tight; prev_pdf
+            # permuted payload is the cost, so pack tight; prev_pdf
             # rides only when NEE needs it (static).
             flags = (bounce | (alive.astype(jnp.int32) << 16)
                      | (pending.astype(jnp.int32) << 17))
-            cols = [origin, direction, mask, acc,
-                    _bitcast_f(seed.astype(jnp.int32)),
-                    _bitcast_f(flags)[:, None],
-                    _bitcast_f(pixid)[:, None]]
-            if cfg.nee:
-                cols.append(prev_pdf[:, None])
-            packed = jnp.concatenate(cols, axis=1)  # [P, 16 or 17]
-            _, perm = jax.lax.sort_key_val(
-                key, jnp.arange(p, dtype=jnp.int32))
-            packed = jnp.take(packed, perm, axis=0)  # one wide gather
-            origin = packed[:, 0:3]
-            direction = packed[:, 3:6]
-            mask = packed[:, 6:9]
-            acc = packed[:, 9:12]
-            seed = _bitcast_i(packed[:, 12:14]).astype(jnp.uint32)
-            flags = _bitcast_i(packed[:, 14])
+            if cfg.sort_variadic:
+                # ONE variadic lax.sort carries every state column as
+                # a payload operand.  Measured EQUAL to the round-2
+                # sort_key_val + wide-gather form in production (10.3
+                # vs 10.5 ms/iter on the cornell 1M pool) — XLA:TPU
+                # lowers payload sorts to a key sort + per-operand row
+                # gathers, so the row-gather floor stays — but it
+                # skips the [P, 17] packed concat materialization and
+                # is the simpler graph.  lax.sort is stable, so the
+                # permutation is bit-identical to the gather form's.
+                # Int payloads ride as f32 bitcasts (sort never
+                # compares payloads, so arbitrary bit patterns are
+                # safe).
+                seedf = _bitcast_f(seed.astype(jnp.int32))
+                ops = [key,
+                       origin[:, 0], origin[:, 1], origin[:, 2],
+                       direction[:, 0], direction[:, 1], direction[:, 2],
+                       mask[:, 0], mask[:, 1], mask[:, 2],
+                       acc[:, 0], acc[:, 1], acc[:, 2],
+                       seedf[:, 0], seedf[:, 1],
+                       _bitcast_f(flags), _bitcast_f(pixid)]
+                if cfg.nee:
+                    ops.append(prev_pdf)
+                out = jax.lax.sort(tuple(ops), num_keys=1)
+                origin = jnp.stack(out[1:4], axis=1)
+                direction = jnp.stack(out[4:7], axis=1)
+                mask = jnp.stack(out[7:10], axis=1)
+                acc = jnp.stack(out[10:13], axis=1)
+                seed = _bitcast_i(jnp.stack(out[13:15], axis=1)).astype(
+                    jnp.uint32)
+                flags, pixid = _bitcast_i(out[15]), _bitcast_i(out[16])
+                prev_pdf = (out[17] if cfg.nee
+                            else jnp.zeros((p,), jnp.float32))
+            else:
+                cols = [origin, direction, mask, acc,
+                        _bitcast_f(seed.astype(jnp.int32)),
+                        _bitcast_f(flags)[:, None],
+                        _bitcast_f(pixid)[:, None]]
+                if cfg.nee:
+                    cols.append(prev_pdf[:, None])
+                packed = jnp.concatenate(cols, axis=1)  # [P, 16 or 17]
+                _, perm = jax.lax.sort_key_val(
+                    key, jnp.arange(p, dtype=jnp.int32))
+                packed = jnp.take(packed, perm, axis=0)  # one wide gather
+                origin = packed[:, 0:3]
+                direction = packed[:, 3:6]
+                mask = packed[:, 6:9]
+                acc = packed[:, 9:12]
+                seed = _bitcast_i(packed[:, 12:14]).astype(jnp.uint32)
+                flags = _bitcast_i(packed[:, 14])
+                pixid = _bitcast_i(packed[:, 15])
+                prev_pdf = (packed[:, 16] if cfg.nee
+                            else jnp.zeros((p,), jnp.float32))
             bounce = flags & 0xFFFF
-            pixid = _bitcast_i(packed[:, 15])
             alive = (flags >> 16) & 1 != 0
             pending = (flags >> 17) & 1 != 0
-            if cfg.nee:
-                prev_pdf = packed[:, 16]
-            else:
-                prev_pdf = jnp.zeros((p,), jnp.float32)
 
             # ---- flush finished paths (a contiguous tail post-sort) --
             # The retired lanes are exactly the LAST n_flush rows

@@ -42,6 +42,15 @@ def main():
     ap.add_argument("--fill-fast", action="store_true",
                     help="compact sweep: approx-reciprocal local-ray "
                          "fill (probe; wrong by <=1 ulp on slab culls)")
+    ap.add_argument("--no-sort-variadic", action="store_true",
+                    help="sort via sort_key_val + wide row gather "
+                         "(the round-2 production form) instead of "
+                         "one variadic lax.sort")
+    ap.add_argument("--shade-split", action="store_true",
+                    help="also time the shade stage's pieces: the two "
+                         "32-wide shade-table row gathers, the "
+                         "component-major rows build, and the fused "
+                         "kernel alone (untextured configs only)")
     args = ap.parse_args()
 
     from logipathtracer_tpu.scene.compile import compile_scene
@@ -49,7 +58,8 @@ def main():
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        shade=args.shade,
                        compact_worklist=not args.no_worklist,
-                       fill_fast=args.fill_fast)
+                       fill_fast=args.fill_fast,
+                       sort_variadic=not args.no_sort_variadic)
     if args.scene == "outside":
         from logipathtracer_tpu.scene.procedural import make_outside_scene
         scene = compile_scene(make_outside_scene(), cfg)
@@ -140,6 +150,31 @@ def main():
                 bi(packed[:, 16]) != 0, bi(packed[:, 17]) != 0,
                 packed[:, 18], bi(packed[:, 14]),
                 bi(packed[:, 15]))
+
+    @jax.jit
+    def sort_pool_variadic(origin, direction, mask, acc, seed, alive,
+                           pending, prev_pdf, bounce, pixid):
+        # production cfg.sort_variadic=True form (wavefront.py)
+        retired = pending & ~alive
+        key = jnp.where(alive, ray_sort_key(scene, origin, direction),
+                        jnp.where(retired, (1 << 18) + 1 + pixid,
+                                  1 << 18))
+        bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        seedf = bf(seed.astype(jnp.int32))
+        out = jax.lax.sort(
+            (key, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             mask[:, 0], mask[:, 1], mask[:, 2],
+             acc[:, 0], acc[:, 1], acc[:, 2],
+             seedf[:, 0], seedf[:, 1],
+             bf(alive.astype(jnp.int32)), bf(pending.astype(jnp.int32)),
+             prev_pdf, bf(bounce), bf(pixid)), num_keys=1)
+        return (jnp.stack(out[1:4], 1), jnp.stack(out[4:7], 1),
+                jnp.stack(out[7:10], 1), jnp.stack(out[10:13], 1),
+                bi(jnp.stack(out[13:15], 1)).astype(jnp.uint32),
+                bi(out[15]) != 0, bi(out[16]) != 0, out[17],
+                bi(out[18]), bi(out[19]))
 
     @jax.jit
     def sort_key_only(origin, direction, alive, pending, pixid):
@@ -273,8 +308,10 @@ def main():
             print(f"    sort split: key {dtk*1e3:5.1f}  "
                   f"sortkv {dtp*1e3:5.1f}  gather {dtg*1e3:5.1f}",
                   flush=True)
-        dt, out = timed(sort_pool, origin, direction, mask, acc, seed,
-                        alive, pending, prev_pdf, bounce, pixid)
+        dt, out = timed(
+            sort_pool_variadic if cfg.sort_variadic else sort_pool,
+            origin, direction, mask, acc, seed,
+            alive, pending, prev_pdf, bounce, pixid)
         (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
          bounce, pixid) = out
         stages["sort"].append(dt)
@@ -295,6 +332,43 @@ def main():
 
         dt, (t, obj, tri) = timed(intersect, origin, direction)
         stages["isect"].append(dt)
+
+        if args.shade_split and not scene.has_textures:
+            from logipathtracer_tpu.ops.pallas import shade as ps
+
+            @jax.jit
+            def shade_gathers(obj, tri):
+                return (jnp.take(scene.obj_shade, jnp.maximum(obj, 0),
+                                 axis=0),
+                        jnp.take(scene.tri_shade, jnp.maximum(tri, 0),
+                                 axis=0))
+
+            @jax.jit
+            def shade_rows(origin, direction, mask, acc, t, seed, alive,
+                           prev_pdf, bounce, oshade, tshade):
+                bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+                return jnp.concatenate([
+                    origin.T, direction.T, mask.T, acc.T, t[None, :],
+                    bf(seed.astype(jnp.int32)).T,
+                    bf(alive.astype(jnp.int32))[None, :],
+                    prev_pdf[None, :], bf(bounce)[None, :],
+                    tshade.T, oshade.T], axis=0)
+
+            env = float(cfg.env_color)
+            cfg_tuple = (env, env, env, float(cfg.eps),
+                         float(cfg.rr_threshold), int(cfg.rr_bounces),
+                         int(cfg.heitz_max_order), bool(cfg.nee_mis),
+                         float(scene.total_light_area))
+            kern = jax.jit(lambda rows: ps.shade_pallas(
+                rows, cfg_tuple, rand_kind="parity",
+                tile=min(cfg.shade_tile, p)))
+            dtg, (osh, tsh) = timed(shade_gathers, obj, tri)
+            dtr, rows = timed(shade_rows, origin, direction, mask, acc,
+                              t, seed, alive, prev_pdf, bounce, osh, tsh)
+            dtk, _ = timed(kern, rows)
+            print(f"    shade split: gathers {dtg*1e3:5.1f}  "
+                  f"rows {dtr*1e3:5.1f}  kernel {dtk*1e3:5.1f}",
+                  flush=True)
 
         shaded_alive = alive
         dt, out = timed(shade, origin, direction, acc, mask, alive, seed,
