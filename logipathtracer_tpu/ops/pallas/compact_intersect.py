@@ -159,12 +159,14 @@ def _mt_mxu(acc, trib_mt, centroid, eps, lanes):
 
 
 def _roll_prefix_consts(g_n: int, cap: int, tile: int):
-    """Iotas for the roll-based rank path (rank_mode='roll')."""
+    """Iotas for the roll-based rank path (rank_mode='roll').  The
+    last entry is a pre-cast bf16 twin used only by the 'nohot' probe
+    ablation (skip the [cap, tile] one-hot compare+cast)."""
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 128), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 1), 0)
     iota_cap_t = jax.lax.broadcasted_iota(
         jnp.int32, (cap, tile), 0).astype(jnp.float32)
-    return lane_iota, sub_iota, iota_cap_t
+    return lane_iota, sub_iota, iota_cap_t, iota_cap_t.astype(jnp.bfloat16)
 
 
 def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
@@ -184,7 +186,7 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
     bound of any group-windowed gather); 'nomt' replaces the MT with a
     2-op dummy.  Used by scripts/compact_probe.py --ablate to split
     the per-fired-cluster cost on hardware."""
-    lane_iota, sub_iota, iota_cap_t = rconsts
+    lane_iota, sub_iota, iota_cap_t, iota_cap_bf = rconsts
     tile = g_n * 128
     h2 = hit.astype(jnp.float32).reshape(g_n, 128)
     if ablate == "norank":
@@ -224,6 +226,11 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
             p_t = (rank_sh == iota_cap_t[:, 0:128]).astype(
                 jnp.bfloat16)                            # [cap, 128]
             acc = _dot_onehot(feats3[:, 0:128], p_t, 6, ((1,), (1,)))
+        elif ablate == "nohot":
+            # probe-only: constant stand-in for the one-hot — isolates
+            # the [cap, tile] compare+cast build cost (wrong results)
+            p_t = iota_cap_bf
+            acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))
         else:
             rank_sh = rank_flat - basef                  # [1, tile]
             p_t = (rank_sh == iota_cap_t).astype(

@@ -345,8 +345,12 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     r = origin.shape[0]
     safe_obj = jnp.maximum(obj, 0)
     safe_tri = jnp.maximum(tri, 0)
-    oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
-    tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
+    # ONE [T, 64] row gather covers both shade tables (the owning
+    # object's obj_shade row rides in cols 32:64; miss lanes read an
+    # arbitrary-but-valid row either way and are masked in the kernel).
+    ts64 = jnp.take(scene.tri_shade, safe_tri, axis=0)    # [R, 64]
+    tshade = ts64[:, 0:32]
+    oshade = ts64[:, 32:64]
     bounce_v = jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (r,))
 
     bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
@@ -441,10 +445,11 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     safe_obj = jnp.maximum(obj, 0)
     safe_tri = jnp.maximum(tri, 0)
 
-    # Two wide-row gathers cover all shading inputs
-    # (scene/types.py tri_shade/obj_shade layouts).
-    oshade = jnp.take(scene.obj_shade, safe_obj, axis=0)  # [R, 32]
-    tshade = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 32]
+    # ONE wide-row gather covers all shading inputs (scene/types.py
+    # tri_shade layout: cols 32:64 are the owning object's obj_shade).
+    ts64 = jnp.take(scene.tri_shade, safe_tri, axis=0)    # [R, 64]
+    tshade = ts64[:, 0:32]
+    oshade = ts64[:, 32:64]
     world3 = oshade[:, 0:9].reshape(-1, 3, 3)
     inv34 = oshade[:, 9:21].reshape(-1, 3, 4)
     base_color = oshade[:, 21:25]

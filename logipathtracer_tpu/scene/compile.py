@@ -257,6 +257,18 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     obj_shade[:, 21:25] = obj_base_color
     obj_shade[:, 25:28] = obj_emission
     obj_shade[:, 28:32] = obj_mrti
+    # Columns 32:64 carry the owning object's obj_shade row, so shading
+    # needs ONE [T, 64] row gather keyed by hit triangle instead of two
+    # 32-wide gathers keyed by (tri, obj) — gathers cost per ROW on TPU
+    # (measured ~10 ms/iteration for the pair on the cornell 1M pool,
+    # scripts/stage_profile.py --shade-split round 3).  obj_shade stays
+    # as the standalone per-object table for the texture prologue.
+    tri_obj = np.zeros((t_count,), np.int32)
+    for o in range(num_objects):
+        s = obj_vtx_offset[o] // 3
+        n = len(vtx_pos_parts[perm[o]]) // 3
+        tri_obj[s:s + n] = o
+    tri_shade = np.concatenate([tri_shade, obj_shade[tri_obj]], axis=1)
 
     cameras = tuple(
         CameraState(world_matrix=c.world_matrix, yfov=c.yfov, name=c.name)

@@ -96,8 +96,11 @@ class SceneSoA:
     # Packed shade tables: ONE wide-row gather per hit instead of many
     # narrow ones (TPU gathers cost per-row, almost independent of row
     # width — measured 12.8 ms/M rows at 32 f32 vs 21.6 ms at 3 f32).
-    tri_shade: Any        # [T, 32] f32: n0 n1 n2 (9), uv0..2 (6),
-                          #              v0 v1 v2 (9), pad (8)
+    tri_shade: Any        # [T, 64] f32: n0 n1 n2 (9), uv0..2 (6),
+                          #              v0 v1 v2 (9), texel density (1),
+                          #              pad (7), owning object's
+                          #              obj_shade row (32) — one gather
+                          #              keyed by tri covers both tables
     obj_shade: Any        # [O, 32] f32: world mat3 (9), inv rows 3x4 (12),
                           #              base_color (4), emission (3),
                           #              metallic roughness transmission ior

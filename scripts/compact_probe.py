@@ -190,9 +190,20 @@ def cmd_bench(args):
             wl = body.startswith("wl")
             abl = body.split(":", 1)[1] if ":" in body else ""
             specs.append((spec, make_comp(wl, abl, cap)))
-        for label, (oo, dd) in (("primary", (o, d)),
-                                ("scrambled", (o_s, d_s))):
-            if args.workload not in ("both", label):
+        if args.pool_npz:
+            # Real production pool states (stage_profile --dump):
+            # post-regen origins/directions incl. parked lanes — the
+            # honest bounce workload, unlike synthetic scrambles.
+            z = np.load(args.pool_npz)
+            its = sorted({int(k[1:]) for k in z.files
+                          if k.startswith("o")})
+            workloads = [(f"pool-it{i}", (z[f"o{i}"], z[f"d{i}"]))
+                         for i in its[-2:]]
+        else:
+            workloads = [("primary", (o, d)), ("scrambled", (o_s, d_s))]
+        for label, (oo, dd) in workloads:
+            if (not args.pool_npz
+                    and args.workload not in ("both", label)):
                 continue
             rays8 = _pack(oo, dd, args.tile)
             print(label, flush=True)
@@ -242,13 +253,17 @@ if __name__ == "__main__":
     ap.add_argument("--ablate", default="",
                     choices=["", "norank", "ksmall", "nomt", "noupd",
                              "noskip", "nofill", "fillfast", "floor0",
-                             "fA", "fB", "fC", "fD"],
+                             "nohot", "fA", "fB", "fC", "fD"],
                     help="probe-only kernel ablation (WRONG results)")
     ap.add_argument("--mxu", action="store_true",
                     help="compact kernel: bilinear MXU Moller-Trumbore")
     ap.add_argument("--worklist", action="store_true",
                     help="compact kernel: per-tile fired-cluster lists "
                          "from the world-AABB prepass")
+    ap.add_argument("--pool-npz", default="",
+                    help="bench --variants on real dumped pool states "
+                         "(stage_profile --dump npz) instead of the "
+                         "synthetic primary/scrambled workloads")
     ap.add_argument("--variants", default="",
                     help="comma list of in-process A/B variants, each "
                          "'wl'/'oct' with optional ':ablate' suffix "

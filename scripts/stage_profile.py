@@ -338,10 +338,10 @@ def main():
 
             @jax.jit
             def shade_gathers(obj, tri):
-                return (jnp.take(scene.obj_shade, jnp.maximum(obj, 0),
-                                 axis=0),
-                        jnp.take(scene.tri_shade, jnp.maximum(tri, 0),
-                                 axis=0))
+                # production form: ONE [T, 64] gather keyed by tri
+                ts64 = jnp.take(scene.tri_shade, jnp.maximum(tri, 0),
+                                axis=0)
+                return ts64[:, 32:64], ts64[:, 0:32]
 
             @jax.jit
             def shade_rows(origin, direction, mask, acc, t, seed, alive,
