@@ -151,6 +151,17 @@ class RenderConfig:
                                   # key-sort + per-operand gathers);
                                   # kept for the simpler graph.  Same
                                   # stable permutation either way.
+    pool_carryover: bool = True   # progressive wavefront keeps the ray
+                                  # pool alive ACROSS step() chunks:
+                                  # each chunk stops as soon as its
+                                  # work items are all injected,
+                                  # leaving in-flight paths for the
+                                  # next chunk instead of draining the
+                                  # pool at collapsing occupancy every
+                                  # chunk (the drain tail is ~10 full-
+                                  # maintenance iterations per chunk).
+                                  # Reads (radiance/image/checkpoint)
+                                  # drain first, so results are exact.
     sort_every: int = 1           # wavefront: sort/flush every k-th
                                   # iteration (alive coherence decays
                                   # slowly; >1 trades stale order for

@@ -73,6 +73,10 @@ class ProgressiveRenderer:
         self._session_samples = 0   # rendered since last reset/restore
         self._session_rays = 0.0
         self._elapsed = 0.0
+        # Persistent wavefront pool (cfg.pool_carryover): in-flight
+        # paths survive across step() chunks; reads drain first.
+        self._wf_state = None
+        self._wf_rays_base = 0.0    # total_rays at pool creation
 
     # -- camera (src/Main.cpp:57-93 semantics) -------------------------
 
@@ -146,8 +150,13 @@ class ProgressiveRenderer:
     def _step_wavefront(self, samples: int, cam, fov):
         """Batch step through the pooled wavefront renderer
         (render/wavefront.py): all ``samples`` samples share one ray
-        pool, so dead lanes are recycled across sample boundaries."""
-        from logipathtracer_tpu.render.wavefront import render_wavefront
+        pool, so dead lanes are recycled across sample boundaries.
+
+        With cfg.pool_carryover (default) the pool also persists ACROSS
+        step() calls: a chunk returns as soon as its work items are all
+        injected, and the collapsing-occupancy drain tail is deferred to
+        the first read (radiance/image/checkpoint) instead of being paid
+        every chunk."""
         if self._dirty:
             self.sample_count = 0
             self.total_rays = 0.0
@@ -155,28 +164,69 @@ class ProgressiveRenderer:
             self._session_rays = 0.0
             self._elapsed = 0.0
             self.accum = jnp.zeros_like(self.accum)
+            self._wf_state = None
         seeds = jnp.asarray(
             self._host_rng.integers(1, 2 ** 31, (samples, 2),
                                     dtype=np.int64), jnp.uint32)
+        pool = min(self.config.pool_size,
+                   self.config.render_width * self.config.render_height)
         t0 = time.perf_counter()
-        batch, rays, iters = render_wavefront(
-            self.scene, self.config, cam, fov, seeds,
-            pool=min(self.config.pool_size,
-                     self.config.render_width * self.config.render_height))
-        self.accum = self.accum + batch
-        jax.block_until_ready(self.accum)
-        self._elapsed += time.perf_counter() - t0
+        if self.config.pool_carryover:
+            from logipathtracer_tpu.render.wavefront import (
+                wavefront_chunk, wavefront_pool_state)
+            if self._wf_state is None:
+                npix = self.config.render_width * self.config.render_height
+                self._wf_state = wavefront_pool_state(min(pool, npix), npix)
+                self._wf_rays_base = self.total_rays
+            self._wf_state = wavefront_chunk(
+                self.scene, self.config, cam, fov, seeds, self._wf_state)
+            rays_now = self._wf_rays_base + float(self._wf_state["rays"])
+            jax.block_until_ready(self._wf_state["accum"])
+            self._elapsed += time.perf_counter() - t0
+            self._session_rays += rays_now - self.total_rays
+            self.total_rays = rays_now
+            self.last_iterations = int(self._wf_state["it"])
+        else:
+            from logipathtracer_tpu.render.wavefront import render_wavefront
+            batch, rays, iters = render_wavefront(
+                self.scene, self.config, cam, fov, seeds, pool=pool)
+            self.accum = self.accum + batch
+            jax.block_until_ready(self.accum)
+            self._elapsed += time.perf_counter() - t0
+            self.total_rays += float(rays)
+            self._session_rays += float(rays)
+            self.last_iterations = int(iters)
         self.sample_count += samples
         self._session_samples += samples
-        self.total_rays += float(rays)
-        self._session_rays += float(rays)
-        self.last_iterations = int(iters)
         self._dirty = False
         if self.sample_count % 10 < samples:
             log.info("samples: %d  samples/s: %.3f  Mrays/s: %.2f",
                      self.sample_count, self.samples_per_sec(),
                      self.mrays_per_sec())
         return self
+
+    def _drain_pool(self):
+        """Complete all in-flight wavefront paths and fold the pool's
+        block-major accumulator into ``self.accum`` (exactness on read:
+        every step()ed sample is fully accumulated afterwards)."""
+        if self._wf_state is None:
+            return
+        from logipathtracer_tpu.render.wavefront import (pix_layout,
+                                                         unblock_accum,
+                                                         wavefront_drain)
+        t0 = time.perf_counter()
+        st = wavefront_drain(self.scene, self.config, self._wf_state)
+        h, w = self.config.render_height, self.config.render_width
+        blocked, bh, bw = pix_layout(self.config, self.scene, h, w)
+        frame = unblock_accum(st["accum"], blocked, bh, bw, h, w)
+        self.accum = self.accum + frame
+        jax.block_until_ready(self.accum)
+        st = dict(st, accum=jnp.zeros_like(st["accum"]))
+        self._wf_state = st
+        rays_now = self._wf_rays_base + float(st["rays"])
+        self._elapsed += time.perf_counter() - t0
+        self._session_rays += rays_now - self.total_rays
+        self.total_rays = rays_now
 
     def samples_per_sec(self) -> float:
         return self._session_samples / max(self._elapsed, 1e-9)
@@ -193,6 +243,7 @@ class ProgressiveRenderer:
         box-filtered down to the window size before tonemapping (the
         reference minifies via the sampler's bilinear filter,
         src/RendererPT.cpp:254-255)."""
+        self._drain_pool()
         accum = self.accum
         s = self.config.render_scale
         if s > 1:
@@ -204,6 +255,7 @@ class ProgressiveRenderer:
 
     def radiance(self) -> np.ndarray:
         """Mean radiance (pre-tonemap; the RMSE-metric quantity)."""
+        self._drain_pool()
         return np.asarray(self.accum) / max(self.sample_count, 1)
 
     # -- checkpoint / resume (SURVEY.md §5.4) ----------------------------
@@ -216,6 +268,7 @@ class ProgressiveRenderer:
 
     def checkpoint(self, path: str):
         path = self.checkpoint_path(path)
+        self._drain_pool()
         st = self._host_rng.bit_generator.state["state"]
         np.savez(path, accum=np.asarray(self.accum),
                  sample_count=self.sample_count,
@@ -236,6 +289,7 @@ class ProgressiveRenderer:
         st["state"]["state"] = int(str(data["rng_state"]))
         st["state"]["inc"] = int(str(data["rng_inc"]))
         self._host_rng.bit_generator.state = st
+        self._wf_state = None
         self._dirty = False
         self._session_samples = 0
         self._session_rays = 0.0

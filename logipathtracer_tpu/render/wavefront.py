@@ -21,6 +21,20 @@ only change WHEN maintenance passes run):
     not free-count-proportional, so batching it saves whole passes
     while parked dead lanes stay near-free in intersect/shade.
 
+Two driving modes share one loop body:
+
+  * ``render_wavefront`` — single shot: fill, trace, and fully drain
+    the pool for S samples (the form the image-invariance tests and
+    the mesh shards use).
+  * ``wavefront_chunk`` / ``wavefront_drain`` — the progressive
+    session's carryover form: a chunk stops as soon as all its work
+    items are injected, leaving in-flight paths in the pool for the
+    next chunk.  Draining at collapsing occupancy (~max_depth
+    iterations of full O(pool) maintenance for a trickle of rays) is
+    then paid once per READ of the accumulator instead of once per
+    chunk.  Per-(pixel, sample) radiance is unchanged — only WHEN a
+    path's contribution is flushed moves.
+
 Per-(pixel, sample) RNG streams are identical to the megakernel's
 (seed = ubo_seed[sample] * pixel, drawn in the same order along each
 path), so each work item's radiance matches the sequential renderer up
@@ -51,38 +65,17 @@ def _bitcast_i(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap", "rows"))
-def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
-                     pool: int = 1 << 20, flush_cap: int = 1 << 18,
-                     y0=0, rows: int | None = None):
-    """Render ``S = ubo_seeds.shape[0]`` samples of a row slab.
-
-    ``rows``/``y0`` select a horizontal slab [y0, y0+rows) of the frame
-    (default: the full frame).  Pixel RNG streams are keyed by absolute
-    coordinates, so any row tiling reproduces the full-frame pixels —
-    the invariant the tile-parallel mesh sharding relies on
-    (parallel/mesh.py).
-
-    Returns (accum [rows, W, 3] radiance SUM over the S samples,
-    rays_traced scalar, iterations scalar).  The iteration count is the
-    frame's pool-pass total — drain-tail iterations (few alive lanes,
-    full O(pool) maintenance) are the wavefront's main amortization
-    loss, so callers batching samples should watch it.
-    """
-    h, w = cfg.render_height, cfg.render_width
-    rows = h if rows is None else rows
-    y0 = jnp.asarray(y0, jnp.int32)
-    npix = rows * w
-    s = ubo_seeds.shape[0]
-    total = s * npix
-    p = min(pool, total)
-    # Block-major pixel mapping (pure arithmetic, no index tables),
-    # sized so one RESOLVED intersect tile = one compact pixel block.
+def pix_layout(cfg: RenderConfig, scene, rows: int, w: int):
+    """Block-major pixel mapping parameters (pure arithmetic, no index
+    tables), sized so one RESOLVED intersect tile = one compact pixel
+    block.  Returns (blocked, bh, bw)."""
     from logipathtracer_tpu.render.megakernel import intersect_tile
     bw = 32
     bh = max(intersect_tile(cfg, scene) // bw, 1)
-    blocked = (rows % bh == 0) and (w % bw == 0)
+    return (rows % bh == 0) and (w % bw == 0), bh, bw
 
+
+def _make_pix_coords(blocked: bool, bh: int, bw: int, w: int, y0):
     def pix_coords(pixi):
         if blocked:
             per_block = bh * bw
@@ -96,10 +89,20 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             px = pixi % w
             py = pixi // w
         return px.astype(jnp.float32), (py + y0).astype(jnp.float32)
+    return pix_coords
 
-    isect = pick_intersect(cfg, scene)
 
-    state = dict(
+def unblock_accum(accum, blocked: bool, bh: int, bw: int, rows: int, w: int):
+    """Undo the block-major pixel mapping -> [rows, w, 3] frame."""
+    if blocked:
+        accum = accum.reshape(rows // bh, w // bw, bh, bw, 3).transpose(
+            0, 2, 1, 3, 4)
+    return accum.reshape(rows, w, 3)
+
+
+def wavefront_pool_state(p: int, npix: int):
+    """Fresh pool state: every lane free, zero accumulation."""
+    return dict(
         origin=jnp.zeros((p, 3)),
         direction=jnp.zeros((p, 3)).at[:, 2].set(1.0),
         mask=jnp.ones((p, 3)),
@@ -116,21 +119,15 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         it=jnp.zeros((), jnp.int32),
     )
 
-    # Lazy maintenance stretches frames over more iterations; keep
-    # generous slack for both knobs.
-    max_iters = (((total // p + 3) * cfg.max_depth + 4)
-                 * max(cfg.sort_every, 1) + 4 * max(cfg.lazy_regen, 1))
 
-    def cond(st):
-        return ((st["next_work"] < total) | jnp.any(st["pending"])) \
-            & (st["it"] < max_iters)
-
-    # Retired (dead-but-unflushed) lanes are sorted to the pool tail so
-    # the flush scatter usually covers only this slice (a full-pool
-    # scatter-add costs ~45 ms/iteration at 1M lanes; the tail slice
-    # ~1/4 of that).  A lax.cond falls back to the full scatter on the
-    # rare iterations where more lanes retire than the slice holds.
-    flush_cap = min(p, flush_cap)
+def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
+               p: int, npix: int, total, flush_cap: int, pix_coords,
+               drain: bool = False):
+    """One wavefront iteration: sort/flush -> regen -> park -> intersect
+    -> shade.  ``drain=True`` statically removes the regen stage (no new
+    work is injected while the pool empties)."""
+    h, w = cfg.render_height, cfg.render_width
+    isect = pick_intersect(cfg, scene)
 
     def body(st):
         origin, direction = st["origin"], st["direction"]
@@ -354,35 +351,36 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 st[k], out[k], start, axis=0) for k in _KEYS}
             return tuple(st[k] for k in _KEYS) + (next_work,)
 
-        args = (origin, direction, mask, acc, seed, alive, pending,
-                prev_pdf, bounce, pixid, next_work)
-        free = ~alive & ~pending
-        n_free = jnp.sum(free.astype(jnp.int32))
-        # The contiguity argument above needs a sort+flush THIS
-        # iteration, so the sliced path is wired only for the
-        # every-iteration maintenance schedule (the default).
-        if cfg.sort_rays and cfg.sort_every <= 1 and regen_cap < p:
-            do_full = n_free > regen_cap
-            if cfg.lazy_regen > 0:
+        if not drain:
+            args = (origin, direction, mask, acc, seed, alive, pending,
+                    prev_pdf, bounce, pixid, next_work)
+            free = ~alive & ~pending
+            n_free = jnp.sum(free.astype(jnp.int32))
+            # The contiguity argument above needs a sort+flush THIS
+            # iteration, so the sliced path is wired only for the
+            # every-iteration maintenance schedule (the default).
+            if cfg.sort_rays and cfg.sort_every <= 1 and regen_cap < p:
+                do_full = n_free > regen_cap
+                if cfg.lazy_regen > 0:
+                    remaining = total - next_work
+                    do_regen = ((n_free * cfg.lazy_regen >= p)
+                                | ((remaining > 0) & (remaining <= n_free)))
+                    args = jax.lax.cond(
+                        do_regen & do_full, regen,
+                        lambda a: jax.lax.cond(do_regen, regen_sliced,
+                                               lambda b: b, a),
+                        args)
+                else:
+                    args = jax.lax.cond(do_full, regen, regen_sliced, args)
+            elif cfg.lazy_regen > 0:
                 remaining = total - next_work
                 do_regen = ((n_free * cfg.lazy_regen >= p)
                             | ((remaining > 0) & (remaining <= n_free)))
-                args = jax.lax.cond(
-                    do_regen & do_full, regen,
-                    lambda a: jax.lax.cond(do_regen, regen_sliced,
-                                           lambda b: b, a),
-                    args)
+                args = jax.lax.cond(do_regen, regen, lambda a: a, args)
             else:
-                args = jax.lax.cond(do_full, regen, regen_sliced, args)
-        elif cfg.lazy_regen > 0:
-            remaining = total - next_work
-            do_regen = ((n_free * cfg.lazy_regen >= p)
-                        | ((remaining > 0) & (remaining <= n_free)))
-            args = jax.lax.cond(do_regen, regen, lambda a: a, args)
-        else:
-            args = regen(args)
-        (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
-         bounce, pixid, next_work) = args
+                args = regen(args)
+            (origin, direction, mask, acc, seed, alive, pending, prev_pdf,
+             bounce, pixid, next_work) = args
 
         # ---- park dead lanes ------------------------------------------
         # Lanes that are retired-but-unflushed or out of work still ride
@@ -410,6 +408,57 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                     pixid=pixid, next_work=next_work, accum=accum,
                     rays=rays, it=st["it"] + 1)
 
+    return body
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap", "rows"))
+def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
+                     pool: int = 1 << 20, flush_cap: int = 1 << 18,
+                     y0=0, rows: int | None = None):
+    """Render ``S = ubo_seeds.shape[0]`` samples of a row slab.
+
+    ``rows``/``y0`` select a horizontal slab [y0, y0+rows) of the frame
+    (default: the full frame).  Pixel RNG streams are keyed by absolute
+    coordinates, so any row tiling reproduces the full-frame pixels —
+    the invariant the tile-parallel mesh sharding relies on
+    (parallel/mesh.py).
+
+    Returns (accum [rows, W, 3] radiance SUM over the S samples,
+    rays_traced scalar, iterations scalar).  The iteration count is the
+    frame's pool-pass total — drain-tail iterations (few alive lanes,
+    full O(pool) maintenance) are the wavefront's main amortization
+    loss, so callers batching samples should watch it (the progressive
+    session avoids them entirely via wavefront_chunk/wavefront_drain).
+    """
+    h, w = cfg.render_height, cfg.render_width
+    rows = h if rows is None else rows
+    y0 = jnp.asarray(y0, jnp.int32)
+    npix = rows * w
+    s = ubo_seeds.shape[0]
+    total = s * npix
+    p = min(pool, total)
+    blocked, bh, bw = pix_layout(cfg, scene, rows, w)
+    pix_coords = _make_pix_coords(blocked, bh, bw, w, y0)
+
+    state = wavefront_pool_state(p, npix)
+
+    # Lazy maintenance stretches frames over more iterations; keep
+    # generous slack for both knobs.
+    max_iters = (((total // p + 3) * cfg.max_depth + 4)
+                 * max(cfg.sort_every, 1) + 4 * max(cfg.lazy_regen, 1))
+
+    def cond(st):
+        return ((st["next_work"] < total) | jnp.any(st["pending"])) \
+            & (st["it"] < max_iters)
+
+    # Retired (dead-but-unflushed) lanes are sorted to the pool tail so
+    # the flush scatter usually covers only this slice (a full-pool
+    # scatter-add costs ~45 ms/iteration at 1M lanes; the tail slice
+    # ~1/4 of that).  A lax.cond falls back to the full scatter on the
+    # rare iterations where more lanes retire than the slice holds.
+    body = _make_body(scene, cfg, cam_world, fov_y, ubo_seeds, p, npix,
+                      total, min(p, flush_cap), pix_coords)
+
     state = jax.lax.while_loop(cond, body, state)
     accum = state["accum"]
     # A final full flush drains paths the while-exit left unflushed
@@ -418,7 +467,88 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     final_flush = state["pending"] & ~state["alive"]
     accum = accum.at[state["pixid"]].add(
         jnp.where(final_flush[:, None], state["acc"], 0.0))
-    if blocked:
-        accum = accum.reshape(rows // bh, w // bw, bh, bw, 3).transpose(
-            0, 2, 1, 3, 4)
-    return accum.reshape(rows, w, 3), state["rays"], state["it"]
+    return (unblock_accum(accum, blocked, bh, bw, rows, w),
+            state["rays"], state["it"])
+
+
+@partial(jax.jit, static_argnames=("cfg", "flush_cap", "rows"),
+         donate_argnames=("state",))
+def wavefront_chunk(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
+                    state, flush_cap: int = 1 << 18,
+                    y0=0, rows: int | None = None):
+    """Advance a persistent pool by one chunk of ``S`` samples.
+
+    Runs the wavefront loop until every (pixel, sample) work item of
+    this chunk has been INJECTED (``next_work == total``) — in-flight
+    paths stay in the returned state for the next chunk (or for
+    ``wavefront_drain``), so steady-state occupancy never collapses at
+    chunk boundaries.  ``state`` comes from ``wavefront_pool_state`` or
+    a previous chunk/drain call; its buffers are donated.
+    """
+    h, w = cfg.render_height, cfg.render_width
+    rows = h if rows is None else rows
+    y0 = jnp.asarray(y0, jnp.int32)
+    npix = rows * w
+    p = state["origin"].shape[0]
+    assert state["accum"].shape[0] == npix, \
+        f"pool state npix {state['accum'].shape[0]} != frame {npix}"
+    s = ubo_seeds.shape[0]
+    total = s * npix
+    blocked, bh, bw = pix_layout(cfg, scene, rows, w)
+    pix_coords = _make_pix_coords(blocked, bh, bw, w, y0)
+
+    body = _make_body(scene, cfg, cam_world, fov_y, ubo_seeds, p, npix,
+                      total, min(p, flush_cap), pix_coords)
+
+    # Injection needs at most ~total/p full pool turnovers; each lane
+    # turns over at least once per max_depth iterations.
+    max_iters = (((total // p + 3) * (cfg.max_depth + 2))
+                 * max(cfg.sort_every, 1) + 4 * max(cfg.lazy_regen, 1))
+
+    def cond(st):
+        return (st["next_work"] < total) & (st["it"] < max_iters)
+
+    state = dict(state, next_work=jnp.zeros((), jnp.int32),
+                 it=jnp.zeros((), jnp.int32))
+    return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "flush_cap", "rows"),
+         donate_argnames=("state",))
+def wavefront_drain(scene, cfg: RenderConfig, state,
+                    flush_cap: int = 1 << 18,
+                    y0=0, rows: int | None = None):
+    """Trace a persistent pool to completion without injecting work.
+
+    After this, every previously injected path's radiance is flushed
+    into ``state['accum']`` — the read-side counterpart of
+    ``wavefront_chunk``."""
+    h, w = cfg.render_height, cfg.render_width
+    rows = h if rows is None else rows
+    y0 = jnp.asarray(y0, jnp.int32)
+    npix = rows * w
+    p = state["origin"].shape[0]
+    assert state["accum"].shape[0] == npix
+    blocked, bh, bw = pix_layout(cfg, scene, rows, w)
+    pix_coords = _make_pix_coords(blocked, bh, bw, w, y0)
+
+    body = _make_body(scene, cfg, None, None,
+                      jnp.ones((1, 2), jnp.uint32), p, npix,
+                      jnp.zeros((), jnp.int32), min(p, flush_cap),
+                      pix_coords, drain=True)
+
+    # Every alive path dies within max_depth bounces; retired lanes
+    # flush on the next sort pass.
+    max_iters = (cfg.max_depth + 2) * max(cfg.sort_every, 1) + 8
+
+    def cond(st):
+        return jnp.any(st["pending"]) & (st["it"] < max_iters)
+
+    state = dict(state, it=jnp.zeros((), jnp.int32))
+    state = jax.lax.while_loop(cond, body, state)
+    # Paranoia flush (mirrors render_wavefront's final flush; a no-op
+    # unless max_iters cut the loop short).
+    final_flush = state["pending"] & ~state["alive"]
+    accum = state["accum"].at[state["pixid"]].add(
+        jnp.where(final_flush[:, None], state["acc"], 0.0))
+    return dict(state, accum=accum, pending=state["pending"] & ~final_flush)
