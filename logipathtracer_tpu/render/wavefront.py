@@ -56,6 +56,11 @@ from logipathtracer_tpu.render.megakernel import (pick_intersect,
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
+# Smallest sliced-regen window (perf knob only — any window covering
+# the free region is exact; tests shrink it to exercise the ladder on
+# CPU-sized pools).
+REGEN_FLOOR = 1 << 15
+
 
 def _bitcast_f(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
@@ -335,21 +340,26 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         # flush just freed the retired tail.  Steady-state regen then
         # only needs a CAP-row window there instead of full-pool
         # cumsum + selects (the 7 ms/Mray regen stage drops with the
-        # slice ratio); iterations with more free rows than the window
-        # (frame warmup) take the full-pool path via lax.cond.
-        regen_cap = min(p, max(p // 4, 1 << 15))
+        # slice ratio); a cond ladder picks the smallest window
+        # covering the free region (steady-state kill rates are
+        # ~12-30%/iteration, so the p//8 rung fires most iterations);
+        # frame-warmup iterations take the full-pool path.
+        regen_caps = sorted({min(p, max(c, REGEN_FLOOR))
+                             for c in (p // 8, p // 4)})
 
-        def regen_sliced(args):
-            st = dict(zip(_KEYS, args[:10]))
-            next_work = args[10]
-            n_alive = jnp.sum(st["alive"].astype(jnp.int32))
-            start = jnp.minimum(n_alive, p - regen_cap)
-            sub = {k: jax.lax.dynamic_slice_in_dim(st[k], start, regen_cap)
-                   for k in _KEYS}
-            out, next_work = regen_rows(sub, next_work)
-            st = {k: jax.lax.dynamic_update_slice_in_dim(
-                st[k], out[k], start, axis=0) for k in _KEYS}
-            return tuple(st[k] for k in _KEYS) + (next_work,)
+        def regen_sliced(cap_k):
+            def f(args):
+                st = dict(zip(_KEYS, args[:10]))
+                next_work = args[10]
+                n_alive = jnp.sum(st["alive"].astype(jnp.int32))
+                start = jnp.minimum(n_alive, p - cap_k)
+                sub = {k: jax.lax.dynamic_slice_in_dim(st[k], start, cap_k)
+                       for k in _KEYS}
+                out, next_work = regen_rows(sub, next_work)
+                st = {k: jax.lax.dynamic_update_slice_in_dim(
+                    st[k], out[k], start, axis=0) for k in _KEYS}
+                return tuple(st[k] for k in _KEYS) + (next_work,)
+            return f
 
         if not drain:
             args = (origin, direction, mask, acc, seed, alive, pending,
@@ -359,19 +369,20 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             # The contiguity argument above needs a sort+flush THIS
             # iteration, so the sliced path is wired only for the
             # every-iteration maintenance schedule (the default).
-            if cfg.sort_rays and cfg.sort_every <= 1 and regen_cap < p:
-                do_full = n_free > regen_cap
+            if cfg.sort_rays and cfg.sort_every <= 1 and regen_caps[0] < p:
+                regen_fn = regen
+                for cap_k in reversed([c for c in regen_caps if c < p]):
+                    regen_fn = (
+                        lambda a, c=cap_k, nxt=regen_fn: jax.lax.cond(
+                            n_free <= c, regen_sliced(c), nxt, a))
                 if cfg.lazy_regen > 0:
                     remaining = total - next_work
                     do_regen = ((n_free * cfg.lazy_regen >= p)
                                 | ((remaining > 0) & (remaining <= n_free)))
-                    args = jax.lax.cond(
-                        do_regen & do_full, regen,
-                        lambda a: jax.lax.cond(do_regen, regen_sliced,
-                                               lambda b: b, a),
-                        args)
+                    args = jax.lax.cond(do_regen, regen_fn,
+                                        lambda a: a, args)
                 else:
-                    args = jax.lax.cond(do_full, regen, regen_sliced, args)
+                    args = regen_fn(args)
             elif cfg.lazy_regen > 0:
                 remaining = total - next_work
                 do_regen = ((n_free * cfg.lazy_regen >= p)

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--tile", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--cap", type=int, default=128)
+    ap.add_argument("--wl-only", action="store_true",
+                    help="skip the 2-D-grid kernel (tile sweeps: only "
+                         "the worklist kernel is production)")
     args = ap.parse_args()
 
     cfg = RenderConfig()
@@ -85,12 +88,16 @@ def main():
           flush=True)
 
     dt_wl, out_wl = timeit(f_wl, o_b, d_b)
-    dt_gr, out_gr = timeit(f_gr, o_b, d_b)
-    print(f"bounce:  worklist {dt_wl * 1e3:7.1f} ms "
-          f"({r / dt_wl / 1e6:5.2f} Mrays/s)  "
-          f"grid {dt_gr * 1e3:7.1f} ms ({r / dt_gr / 1e6:5.2f})",
-          flush=True)
-    compare("bounce", out_wl, out_gr, r)
+    if args.wl_only:
+        print(f"bounce:  worklist {dt_wl * 1e3:7.1f} ms "
+              f"({r / dt_wl / 1e6:5.2f} Mrays/s)", flush=True)
+    else:
+        dt_gr, out_gr = timeit(f_gr, o_b, d_b)
+        print(f"bounce:  worklist {dt_wl * 1e3:7.1f} ms "
+              f"({r / dt_wl / 1e6:5.2f} Mrays/s)  "
+              f"grid {dt_gr * 1e3:7.1f} ms ({r / dt_gr / 1e6:5.2f})",
+              flush=True)
+        compare("bounce", out_wl, out_gr, r)
 
     # primaries
     h = w = 512
@@ -103,6 +110,10 @@ def main():
                                jnp.float32(cam.yfov), pix, (w, h), seed)
     o_1, d_1 = o_1[:r], d_1[:r]
     dt_wl, out_wl = timeit(f_wl, o_1, d_1)
+    if args.wl_only:
+        print(f"primary: worklist {dt_wl * 1e3:7.1f} ms "
+              f"({r / dt_wl / 1e6:5.2f} Mrays/s)", flush=True)
+        return
     dt_gr, out_gr = timeit(f_gr, o_1, d_1)
     print(f"primary: worklist {dt_wl * 1e3:7.1f} ms "
           f"({r / dt_wl / 1e6:5.2f} Mrays/s)  "
