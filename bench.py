@@ -44,10 +44,14 @@ def _ray_query_mrays(scene, cfg) -> float:
     f = jax.jit(lambda oo, dd: sorted_intersect(isect, scene, oo, dd,
                                                 cfg.eps)[0].sum()[None])
     float(np.asarray(f(o, d))[0])  # compile
+    # K dispatches, ONE sync: per-dispatch host syncs through the axon
+    # relay pay a ~160 ms round-trip floor that the production
+    # while-loop renderer never pays (CLAUDE.md); JAX async dispatch
+    # pipelines the queue, so blocking once measures the device rate.
     n = 10
     t0 = time.perf_counter()
-    for _ in range(n):
-        float(np.asarray(f(o, d))[0])
+    outs = [f(o, d) for _ in range(n)]
+    jax.block_until_ready(outs)
     return n * h * w / (time.perf_counter() - t0) / 1e6
 
 
