@@ -119,17 +119,26 @@ def _prefix_consts(g_n: int):
     return ident, ltri, gtri, ones_row
 
 
-def _mt_mxu(acc, trib_mt, centroid, eps, lanes):
+def _mt_mxu(acc, trib_mt, centroid, eps, lanes, fast: bool = False):
     """Möller-Trumbore of one compacted block via ONE MXU matmul.
 
-    acc: [7, cap] compacted local rays (+best_t row); trib_mt:
+    acc: [6+, cap] compacted local rays; trib_mt:
     [16, 4S] bilinear feature matrix (clusters.py::build_mt_features);
     centroid: (cx, cy, cz) scalars — ray origins are shifted into the
     cluster-local frame the features were built in.  Returns t [cap, S]
     with BIG on miss.  The matmul's bf16x3 HIGHEST passes carry ~1-ulp
     noise vs the elementwise form (acceptable: same class as the
     one-hot gather tail).
+
+    Round-3 epilogue (VERDICT r2 item 1): ``fast`` swaps the exact
+    1/det — which dominated the round-2 MXU attempt's epilogue — for
+    the approx-reciprocal + Newton step the VPU MT already uses on
+    hardware, so the whole post-matmul chain is ~15 vreg-ops/pair vs
+    the elementwise MT's ~60 (measured via scripts/compact_probe.py
+    --mxu --rank roll).
     """
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import _fast_recip
+
     opx = acc[0] - centroid[0]
     opy = acc[1] - centroid[1]
     opz = acc[2] - centroid[2]
@@ -150,7 +159,7 @@ def _mt_mxu(acc, trib_mt, centroid, eps, lanes):
     un = prod[:, 1 * lanes:2 * lanes]
     vn = prod[:, 2 * lanes:3 * lanes]
     tn = prod[:, 3 * lanes:4 * lanes]
-    inv = 1.0 / det
+    inv = _fast_recip(det) if fast else 1.0 / det
     u = un * inv
     v = vn * inv
     t = tn * inv
@@ -173,12 +182,17 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
                                  eps: float, fast: bool = True,
+                                 mxu: bool = False, centroid=None,
                                  ablate: str = ""):
     """rank_mode='roll' variant of _compact_cluster_update: log-step
     roll prefix sums in the natural [G, 128] layout and ONE transposed
     [cap, tile] one-hot per block — no transpose matmuls, no per-group
     loops (measured vs the matmul-rank form on real workloads via
     scripts/compact_probe.py --rank).
+
+    ``mxu``: trib holds the [16, 4S] bilinear feature matrix and each
+    block's Möller-Trumbore runs as one MXU matmul with the fast-recip
+    epilogue (_mt_mxu) instead of the elementwise VPU chain.
 
     ``ablate`` (probe-only, wrong results): 'norank' skips the roll
     prefix chain; 'ksmall' builds the one-hot and runs the gather/
@@ -238,6 +252,8 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
             acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
         if ablate == "nomt":
             t = acc[0][:, None] + trib[0][None, 0:lanes]  # [cap, S] dummy
+        elif mxu:
+            t = _mt_mxu(acc, trib, centroid, eps, lanes, fast=fast)
         else:
             t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
                             acc[5], trib, eps, fast=fast)  # [cap, S]
@@ -386,7 +402,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
     best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
-    use_roll = rank_mode == "roll" and not mxu
+    use_roll = rank_mode == "roll"
     consts = (_roll_prefix_consts(g_n, cap, tile) if use_roll
               else _prefix_consts(g_n))
 
@@ -433,21 +449,19 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
         else:
             pred = jnp.any(hit)
 
+        centroid = (0.5 * (amin[0] + amax[0]),
+                    0.5 * (amin[1] + amax[1]),
+                    0.5 * (amin[2] + amax[2])) if mxu else None
+
         @pl.when(pred)
         def _():
-            # The MXU-MT option keeps the matmul-rank update (it is an
-            # off-by-default measured-slower path; no need for both
-            # rank forms there).
             if use_roll:
                 _compact_cluster_update_roll(
                     hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
                     obj, best_t, best_tri, best_obj, consts, slot_ids,
                     g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
-                    ablate=ablate)
+                    mxu=mxu, centroid=centroid, ablate=ablate)
             else:
-                centroid = (0.5 * (amin[0] + amax[0]),
-                            0.5 * (amin[1] + amax[1]),
-                            0.5 * (amin[2] + amax[2])) if mxu else None
                 _compact_cluster_update(
                     hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
                     obj, best_t, best_tri, best_obj, consts, slot_ids,
@@ -894,7 +908,6 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     than the octant order because the visit order differs.
     """
     if worklist:
-        assert not mxu, "worklist form keeps the VPU MT update"
         assert obj_world is not None
         from logipathtracer_tpu.ops.pallas.cluster_intersect import (
             chunk_world_bounds)

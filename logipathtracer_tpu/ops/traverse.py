@@ -179,8 +179,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             cap=cap, eps=eps,
             interpret=(backend == "compact_interpret"),
             has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode,
-            worklist=worklist and not mxu,
-            obj_world=scene.obj_world if (worklist and not mxu) else None,
+            worklist=worklist,
+            obj_world=scene.obj_world if worklist else None,
             fill_fast=fill_fast)
     else:
         t, tri, obj = cluster_intersect_pallas(

@@ -163,11 +163,12 @@ def cmd_bench(args):
               flush=True)
         return res
 
-    def make_comp(worklist, ablate, cap=None):
+    def make_comp(worklist, ablate, cap=None, mxu=None):
+        mxu = args.mxu if mxu is None else mxu
         return lambda r8: cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
-            scene.cl_mt if args.mxu else scene.cl_tris, r8,
-            tile=args.tile, cap=cap or args.cap, mxu=args.mxu,
+            scene.cl_mt if mxu else scene.cl_tris, r8,
+            tile=args.tile, cap=cap or args.cap, mxu=mxu,
             rank_mode=args.rank, ablate=ablate, worklist=worklist,
             obj_world=scene.obj_world if worklist else None)
 
@@ -189,7 +190,10 @@ def cmd_bench(args):
                 cap = int(cap_s)
             wl = body.startswith("wl")
             abl = body.split(":", 1)[1] if ":" in body else ""
-            specs.append((spec, make_comp(wl, abl, cap)))
+            mxu = None
+            if abl == "mxu":  # e.g. wl:mxu = MXU MT (not an ablation)
+                mxu, abl = True, ""
+            specs.append((spec, make_comp(wl, abl, cap, mxu)))
         if args.pool_npz:
             # Real production pool states (stage_profile --dump):
             # post-regen origins/directions incl. parked lanes — the

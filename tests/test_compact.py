@@ -25,7 +25,8 @@ def _rays(scene, n, rng):
 @pytest.mark.parametrize("cap,mxu,worklist", [(128, False, False),
                                               (256, False, False),
                                               (128, True, False),
-                                              (128, False, True)])
+                                              (128, False, True),
+                                              (128, True, True)])
 def test_compact_matches_bvh(cornell_scene, rng, cap, mxu, worklist):
     s = cornell_scene
     o, d = _rays(s, 512, rng)
