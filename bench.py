@@ -92,6 +92,16 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
+    # Normalize the env pieces XLA folds into the persistent-cache key
+    # BEFORE importing jax: the driver may invoke bench.py with
+    # XLA_FLAGS left over from the multichip dryrun (or libtpu override
+    # vars), and any difference vs the pre-warm run's env misses every
+    # cache entry — the suspected cause of the round-2 bench paying
+    # 613 s of warmup against a warm cache (VERDICT r2, weak item 2).
+    # Bench semantics do not depend on these flags.
+    for var in ("XLA_FLAGS", "AXON_LIBTPU_OVERRIDES", "LIBTPU_INIT_ARGS"):
+        os.environ.pop(var, None)
+
     import jax
 
     if args.cpu:

@@ -272,6 +272,17 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
             out_all = jnp.concatenate([out_small] * g_n, axis=1)
         else:
             out_all = _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+        if ablate == "upd2d":
+            # Correct alternative (probe: variants wl:upd2d): one 2-D
+            # relayout per row instead of g_n unrolled [128]-lane
+            # slices — same results, different issue count.
+            o3 = [out_all[i].reshape(g_n, 128) for i in range(3)]
+            du = (o3[2] > 0.5) & (o3[0] < best_t[:])
+            best_t[:] = jnp.where(du, o3[0], best_t[:])
+            best_tri[:] = jnp.where(
+                du, tri_base + o3[1].astype(jnp.int32), best_tri[:])
+            best_obj[:] = jnp.where(du, obj, best_obj[:])
+            return 0
         for g in range(g_n):
             sl = slice(g * 128, (g + 1) * 128)
             du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])

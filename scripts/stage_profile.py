@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--fill-fast", action="store_true",
                     help="compact sweep: approx-reciprocal local-ray "
                          "fill (probe; wrong by <=1 ulp on slab culls)")
+    ap.add_argument("--mxu", action="store_true",
+                    help="compact sweep: MXU Moller-Trumbore (cfg.mt_mxu)")
     ap.add_argument("--no-sort-variadic", action="store_true",
                     help="sort via sort_key_val + wide row gather "
                          "(the round-2 production form) instead of "
@@ -58,7 +60,7 @@ def main():
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        shade=args.shade,
                        compact_worklist=not args.no_worklist,
-                       fill_fast=args.fill_fast,
+                       fill_fast=args.fill_fast, mt_mxu=args.mxu,
                        sort_variadic=not args.no_sort_variadic)
     if args.scene == "outside":
         from logipathtracer_tpu.scene.procedural import make_outside_scene
