@@ -107,13 +107,15 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    # Persistent XLA compile cache (same as tests/conftest.py): remote
-    # TPU AOT compiles run 100-300 s per kernel shape; caching makes
-    # warm bench runs pay seconds, not minutes, of warmup.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__) or ".",
-                                   "tests", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent XLA compile cache (TPU runs only): remote TPU AOT
+    # compiles run 100-300 s per kernel shape; caching makes warm bench
+    # runs pay seconds, not minutes, of warmup.  CPU runs skip it —
+    # XLA:CPU executable (de)serialization segfaults intermittently on
+    # this host (utils/cache.py docstring).
+    from logipathtracer_tpu.utils.cache import configure_compile_cache
+    configure_compile_cache(
+        jax, os.path.join(os.path.dirname(__file__) or ".",
+                          "tests", ".jax_cache"), cpu=args.cpu)
 
     width = args.width or (128 if args.quick else 1024)
     height = args.height or (128 if args.quick else 1024)

@@ -69,7 +69,9 @@ def _build(args):
     cache = os.environ.get(
         "LPT_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "lpt_xla"))
-    if cache:
+    if cache and not args.cpu:
+        # TPU runs only: XLA:CPU executable (de)serialization segfaults
+        # intermittently on this host (utils/cache.py docstring).
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

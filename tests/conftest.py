@@ -6,6 +6,7 @@ kernel has a CPU-runnable path (the reference's 'lavapipe analog').
 """
 
 import os
+import sys
 
 # NOTE: the axon sitecustomize pins JAX_PLATFORMS=axon (the real TPU
 # tunnel); jax.config.update is the reliable way to force CPU here.
@@ -21,11 +22,16 @@ import jax  # noqa: E402
 # the virtual-device CPU mesh.
 if not os.environ.get("LPT_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
-# Persistent XLA compilation cache: the suite re-jits heavy render
-# graphs; caching cuts repeat runs from minutes to seconds.
-_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent XLA compilation cache: TPU-marked runs only.  CPU runs
+# get NO persistent cache — XLA:CPU executable (de)serialization
+# segfaults intermittently on this host (utils/cache.py docstring), and
+# a crashed suite is worse than a slow one.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from logipathtracer_tpu.utils.cache import configure_compile_cache  # noqa: E402
+
+configure_compile_cache(
+    jax, os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    cpu=not os.environ.get("LPT_TPU_TESTS"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
