@@ -151,6 +151,20 @@ class RenderConfig:
                                   # key-sort + per-operand gathers);
                                   # kept for the simpler graph.  Same
                                   # stable permutation either way.
+    pool_cm: bool = False         # component-major wavefront pool:
+                                  # ray-state vectors live as [3, P]
+                                  # rows ([2, P] seeds) instead of
+                                  # [P, 3] columns, so the shade-kernel
+                                  # row build, the rays8 intersect
+                                  # pack, and the sort stack-backs are
+                                  # row concats instead of transposes
+                                  # (the [P, 3] relayout tax measured
+                                  # in scripts/layout_probe.py).
+                                  # Arithmetic is unchanged — images
+                                  # are bit-identical either way
+                                  # (tests/test_wavefront.py).
+                                  # Requires sort_variadic (the packed
+                                  # sort stays the [P, 3] form).
     pool_carryover: bool = True   # progressive wavefront keeps the ray
                                   # pool alive ACROSS step() chunks:
                                   # each chunk stops as soon as its

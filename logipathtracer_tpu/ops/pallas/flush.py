@@ -131,10 +131,14 @@ def flush_bin_segments(pix_sorted, npix: int, bw: int, cap: int):
     return (start_al // 128).astype(jnp.int32), nb.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "cap"))
-def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512):
+@functools.partial(jax.jit, static_argnames=("bw", "cap", "cm"))
+def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512,
+               cm: bool = False):
     """accum [npix, 3] += per-pixel sums of acc_tail rows, where
     pix_tail [FC] is ascending with a -1 prefix for rows to skip.
+
+    ``cm``: acc_tail arrives component-major [3, FC] (cfg.pool_cm) —
+    already the kernel's tail layout, so the transpose is elided.
 
     Exact: every addend enters the accumulator as its f32 value (bf16
     split products against a 0/1 one-hot); only the addition ORDER
@@ -155,7 +159,8 @@ def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512):
     # so the kernel's DMA slices the MAJOR dim
     fcp = -(-(fc + cap) // cap) * cap
     tail4 = jnp.concatenate(
-        [acc_tail.T, pix_tail.astype(jnp.float32)[None, :]], axis=0)
+        [acc_tail if cm else acc_tail.T,
+         pix_tail.astype(jnp.float32)[None, :]], axis=0)
     tail4 = jnp.concatenate(
         [tail4, jnp.full((4, fcp - fc), -1.0, jnp.float32)], axis=1)
     tail3 = tail4.reshape(4, fcp // 128, 128).transpose(1, 0, 2)

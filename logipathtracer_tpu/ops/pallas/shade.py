@@ -56,6 +56,13 @@ I_BOUNCE = 17                # i32 bits
 I_TSH = 18                   # 32 rows of tri_shade
 I_OSH = 50                   # 32 rows of obj_shade
 IN_K = 82
+# Small-scene variant (tri_block given): the 64 gathered table rows are
+# replaced by ONE bitcast-i32 triangle-id row; the kernel selects the
+# [64, T] table rows itself with an exact one-hot matmul against the
+# VMEM-resident pre-split table (build_tri_block) — the XLA-level
+# [R, 64] row gather and its transposes disappear from the shade stage.
+I_TRI = 18
+IN_K_SEL = 19
 # Textured configs (tex=True) append the material-resolution prologue's
 # normal-map output (render/megakernel.py::_shade_step_pallas computes
 # texture taps in XLA and overwrites the obj_shade material slots; the
@@ -154,7 +161,9 @@ def _dot(ax, ay, az, bx, by, bz):
 
 
 def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
-            nee: bool = False, tex: bool = False):
+            nee: bool = False, tex: bool = False, tri_sel: bool = False):
+    rest = list(rest)
+    tri_ref = rest.pop(0) if tri_sel else None
     if nee:
         lights_ref, out_ref = rest
     else:
@@ -200,11 +209,13 @@ def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
     @pl.when(tile_live)
     def _():
         _shade_tile(in_ref, lights_ref, out_ref, cfg_tuple=cfg_tuple,
-                    rand_kind=rand_kind, tile=tile, nee=nee, tex=tex)
+                    rand_kind=rand_kind, tile=tile, nee=nee, tex=tex,
+                    tri_ref=tri_ref)
 
 
 def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
-                tile: int, nee: bool = False, tex: bool = False):
+                tile: int, nee: bool = False, tex: bool = False,
+                tri_ref=None):
     (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order,
      nee_mis, total_area) = cfg_tuple
     rand = _rand_parity if rand_kind == "parity" else _rand_threefry
@@ -223,8 +234,25 @@ def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
     prev_pdf = f(I_SKIP)  # NEE MIS state; always 0 in pallas configs
     bounce = i(I_BOUNCE)
 
-    tsh = lambda k: f(I_TSH + k)
-    osh = lambda k: f(I_OSH + k)
+    if tri_ref is not None:
+        # In-kernel shade-table rows (small scenes): EXACT one-hot
+        # selection matmul against the VMEM-resident pre-split table —
+        # each lane's [64] tri_shade row materializes as dense [64, T]
+        # component rows with zero XLA gathers (build_tri_block; same
+        # split3/0-1 exactness argument as the compaction kernel's
+        # _dot_onehot, so results are bit-identical to the gather form).
+        from logipathtracer_tpu.ops.pallas.compact_intersect import \
+            _dot_onehot
+        tri = i(I_TRI)
+        tp = tri_ref.shape[1]
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, tile), 0)
+        oh = (iota_t == tri[None, :]).astype(jnp.bfloat16)   # [Tp, T]
+        ts = _dot_onehot(tri_ref[:, :], oh, 64, ((1,), (0,)))
+        tsh = lambda k: ts[k]
+        osh = lambda k: ts[32 + k]
+    else:
+        tsh = lambda k: f(I_TSH + k)
+        osh = lambda k: f(I_OSH + k)
 
     # ---- miss: acc = mask * env (overwrite), kill (:220-223) ----------
     miss = alive & (t >= INF)
@@ -716,11 +744,27 @@ def build_light_block(light_tris, light_cdf):
     return block
 
 
+def build_tri_block(tri_shade):
+    """Pre-split shade table for the in-kernel selection (tri_sel):
+    [192, Tp] bf16 — the hi/mid/lo bf16 splits of tri_shade.T
+    (compact_intersect._split3 exactness argument; table values are
+    scene data, far below the ~1e30 bf16-overflow line), lanes padded
+    to a 128 multiple (padding never selected: tri ids < T)."""
+    from logipathtracer_tpu.ops.pallas.compact_intersect import _split3
+    t = tri_shade.shape[0]
+    tp = -(-t // 128) * 128
+    block = jnp.asarray(tri_shade).T  # [64, T]
+    if tp != t:
+        block = jnp.concatenate(
+            [block, jnp.zeros((64, tp - t), jnp.float32)], axis=1)
+    return _split3(block)  # [192, Tp] bf16
+
+
 @functools.partial(jax.jit, static_argnames=("cfg_tuple", "rand_kind",
                                              "tile", "interpret", "nee"))
 def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
                  tile: int = 2048, interpret: bool = False,
-                 nee: bool = False, light_block=None):
+                 nee: bool = False, light_block=None, tri_block=None):
     """Apply the fused shading kernel.
 
     state_rows: [IN_K, R] f32 (R multiple of ``tile``; ints bitcast).
@@ -732,18 +776,27 @@ def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
     OUT_K_NEE rows (shadow query + pending contribution — the caller
     resolves visibility through the intersect kernel and adds the
     contribution rows).
+    tri_block: (from build_tri_block) in-kernel shade-table selection —
+    state_rows is then the [IN_K_SEL, R] form (triangle-id row instead
+    of 64 gathered table rows; untextured configs only).
     Returns [OUT_K or OUT_K_NEE, R] f32.
     """
     k, r = state_rows.shape
+    tri_sel = tri_block is not None
     tex = k == IN_K_TEX
-    assert k in (IN_K, IN_K_TEX) and r % tile == 0
+    assert (k == IN_K_SEL if tri_sel else k in (IN_K, IN_K_TEX)) \
+        and r % tile == 0
     out_k = OUT_K_NEE if nee else OUT_K
     kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
                                rand_kind=rand_kind, tile=tile, nee=nee,
-                               tex=tex)
+                               tex=tex, tri_sel=tri_sel)
     in_specs = [pl.BlockSpec((k, tile), lambda g: (0, g),
                              memory_space=pltpu.VMEM)]
     args = [state_rows]
+    if tri_sel:
+        in_specs.append(pl.BlockSpec(tri_block.shape, lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(tri_block)
     if nee:
         lb = light_block
         in_specs.append(pl.BlockSpec(lb.shape, lambda g: (0, 0),

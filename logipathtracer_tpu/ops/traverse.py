@@ -143,11 +143,27 @@ def _padded_inverses(scene):
     return jnp.concatenate([ident, inv], axis=0)
 
 
+def _pack_rays8(origin, direction, tile: int, t_max, cm: bool):
+    """Tile-padded [8, Rp] component-major ray block.  ``cm``: the rays
+    already arrive as [3, R] rows (cfg.pool_cm) — the pack is then two
+    row copies instead of two transposes."""
+    r = origin.shape[1] if cm else origin.shape[0]
+    rp = ((r + tile - 1) // tile) * tile
+    rays8 = jnp.zeros((8, rp), jnp.float32)
+    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
+    rays8 = rays8.at[0:3, :r].set(origin if cm else origin.T)
+    rays8 = rays8.at[3:6, :r].set(direction if cm else direction.T)
+    if t_max is not None:
+        rays8 = rays8.at[6, :].set(INF)
+        rays8 = rays8.at[6, :r].set(t_max)
+    return rays8, r
+
+
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
                           t_max=None, cap: int = 128, mxu: bool = False,
                           rank_mode: str = "roll", worklist: bool = False,
-                          fill_fast: bool = False):
+                          fill_fast: bool = False, cm: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -156,15 +172,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         cluster_intersect_jnp, cluster_intersect_pallas)
 
-    r = origin.shape[0]
-    rp = ((r + tile - 1) // tile) * tile
-    rays8 = jnp.zeros((8, rp), jnp.float32)
-    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
-    rays8 = rays8.at[0:3, :r].set(origin.T)
-    rays8 = rays8.at[3:6, :r].set(direction.T)
-    if t_max is not None:
-        rays8 = rays8.at[6, :].set(INF)
-        rays8 = rays8.at[6, :r].set(t_max)
+    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     if backend == "jnp":
         t, tri, obj = cluster_intersect_jnp(
@@ -194,7 +202,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
                            backend: str = "pallas", t_max=None,
-                           cap: int = 0, rank_mode: str = "roll"):
+                           cap: int = 0, rank_mode: str = "roll",
+                           cm: bool = False):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -202,15 +211,7 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
     from logipathtracer_tpu.ops.pallas.cluster_intersect import \
         cluster_intersect_stream
 
-    r = origin.shape[0]
-    rp = ((r + tile - 1) // tile) * tile
-    rays8 = jnp.zeros((8, rp), jnp.float32)
-    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
-    rays8 = rays8.at[0:3, :r].set(origin.T)
-    rays8 = rays8.at[3:6, :r].set(direction.T)
-    if t_max is not None:
-        rays8 = rays8.at[6, :].set(INF)
-        rays8 = rays8.at[6, :r].set(t_max)
+    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     t, tri, obj = cluster_intersect_stream(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
@@ -223,7 +224,7 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
                              tile: int = 4096, chunk: int = 16,
                              t_max=None, cap: int = 128,
-                             rank_mode: str = "roll"):
+                             rank_mode: str = "roll", cm: bool = False):
     """Closest hit via the worklist-driven streamed compaction sweep
     (compact_intersect.py::cluster_intersect_worklist) — the TPU
     production path for beyond-VMEM scenes.  Same contract as
@@ -231,15 +232,7 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
     from logipathtracer_tpu.ops.pallas.compact_intersect import \
         cluster_intersect_worklist
 
-    r = origin.shape[0]
-    rp = ((r + tile - 1) // tile) * tile
-    rays8 = jnp.zeros((8, rp), jnp.float32)
-    rays8 = rays8.at[5, :].set(1.0)  # benign padding direction
-    rays8 = rays8.at[0:3, :r].set(origin.T)
-    rays8 = rays8.at[3:6, :r].set(direction.T)
-    if t_max is not None:
-        rays8 = rays8.at[6, :].set(INF)
-        rays8 = rays8.at[6, :r].set(t_max)
+    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     t, tri, obj = cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,

@@ -106,31 +106,37 @@ def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
     return mode
 
 
-def pick_intersect(cfg: RenderConfig, scene=None):
+def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
     """Select the intersection backend (static per config/scene shapes).
 
     'auto' uses the Pallas cluster sweep on TPU and the while-loop BVH
-    walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4)."""
+    walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4).
+
+    ``cm``: the returned closure takes component-major [3, R] rays
+    (cfg.pool_cm pool state) instead of [R, 3]."""
     mode = resolve_intersect_mode(cfg, scene)
     if mode == "bvh":
+        if cm:
+            return lambda s, o, d, eps, t_max=None: intersect_scene(
+                s, o.T, d.T, eps=eps, t_max=t_max)
         return intersect_scene
     if mode == "sweep":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas",
-            t_max=t_max)
+            t_max=t_max, cm=cm)
     if mode == "sweep_interpret":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret",
-            t_max=t_max)
+            t_max=t_max, cm=cm)
     if mode in ("compact", "compact_interpret"):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
             t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
             rank_mode=cfg.compact_rank, worklist=cfg.compact_worklist,
-            fill_fast=cfg.fill_fast)
+            fill_fast=cfg.fill_fast, cm=cm)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
-            s, o, d, eps=eps, backend="jnp", t_max=t_max)
+            s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)
     if mode in ("stream", "stream_interpret"):
         from logipathtracer_tpu.ops.traverse import intersect_scene_stream
         backend = "interpret" if mode == "stream_interpret" else "pallas"
@@ -145,11 +151,11 @@ def pick_intersect(cfg: RenderConfig, scene=None):
                 intersect_scene_worklist(
                     s, o, d, eps=eps, tile=cfg.stream_tile,
                     chunk=cfg.stream_chunk, t_max=t_max, cap=cap,
-                    rank_mode=cfg.compact_rank)
+                    rank_mode=cfg.compact_rank, cm=cm)
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
             backend=backend, t_max=t_max, cap=cap,
-            rank_mode=cfg.compact_rank)
+            rank_mode=cfg.compact_rank, cm=cm)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
@@ -164,17 +170,18 @@ def intersect_tile(cfg: RenderConfig, scene=None) -> int:
     return cfg.sweep_tile
 
 
-def ray_sort_key(scene, origin, direction):
+def ray_sort_key(scene, origin, direction, cm: bool = False):
     """Spatial sort key: direction octant (major) + 5-bit-per-axis
     Morton code of the origin within the scene bounds.
 
     Scattered bounce rays are incoherent; sorting them so a sweep tile
     sees similar origins/directions restores most of the tile-level
     culling the cluster kernel relies on (SURVEY.md §5.7: lobe/ray
-    sorting between bounces)."""
+    sorting between bounces).  ``cm``: origin/direction are
+    component-major [3, R] rows (cfg.pool_cm) instead of [R, 3]."""
+    cx = (lambda a, i: a[i]) if cm else (lambda a, i: a[:, i])
     lo = scene.world_aabb[0]
     span = jnp.maximum(scene.world_aabb[1] - lo, 1e-9)
-    q = jnp.clip(((origin - lo) / span * 31.0).astype(jnp.int32), 0, 31)
 
     def spread3(x):
         out = jnp.zeros_like(x)
@@ -182,11 +189,14 @@ def ray_sort_key(scene, origin, direction):
             out = out | (((x >> b) & 1) << (3 * b))
         return out
 
-    morton = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
-              | (spread3(q[:, 2]) << 2))
-    octant = ((direction[:, 0] > 0).astype(jnp.int32) * 4
-              + (direction[:, 1] > 0).astype(jnp.int32) * 2
-              + (direction[:, 2] > 0).astype(jnp.int32))
+    def quant(i):
+        q = (cx(origin, i) - lo[i]) / span[i] * 31.0
+        return spread3(jnp.clip(q.astype(jnp.int32), 0, 31))
+
+    morton = quant(0) | (quant(1) << 1) | (quant(2) << 2)
+    octant = ((cx(direction, 0) > 0).astype(jnp.int32) * 4
+              + (cx(direction, 1) > 0).astype(jnp.int32) * 2
+              + (cx(direction, 2) > 0).astype(jnp.int32))
     return (octant << 15) | morton
 
 
@@ -212,6 +222,13 @@ def sorted_intersect(isect, scene, origin, direction, eps):
 # picked row per lane; beyond this light count the [L, tile] pick
 # becomes the kernel's dominant cost and the jnp path wins.
 SHADE_NEE_MAX_LIGHTS = 512
+
+# In-kernel shade-table selection (shade.py tri_sel): scenes up to this
+# many triangles keep the whole [T, 64] shade table VMEM-resident in
+# the fused kernel and replace the XLA [R, 64] row gather + row-pack
+# transposes with one exact one-hot matmul per tile.  Beyond it, the
+# [Tp, tile] one-hot build dominates and the gather form wins.
+SHADE_SEL_MAX_TRIS = 512
 
 
 def resolve_shade_mode(cfg: RenderConfig, scene=None) -> str:
@@ -328,10 +345,14 @@ def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
 
 def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
                        mask, alive, seed, bounce, t, obj, tri, prev_pdf,
-                       interpret: bool, isect=None):
+                       interpret: bool, isect=None, cm: bool = False):
     """Pack ray state component-major and run the fused shading kernel
     (ops/pallas/shade.py).  Same contract as the jnp tail of
     shade_step.
+
+    ``cm``: the ray-state vectors arrive (and return) component-major
+    ([3, R] / [2, R] rows, cfg.pool_cm) — the kernel's native layout,
+    so the row pack and the result unpack lose their transposes.
 
     NEE configs (cfg.nee, lights present, isect given): the kernel
     additionally samples the light, prepares the shadow query, and
@@ -342,31 +363,51 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     from logipathtracer_tpu.ops.pallas import shade as ps
 
     nee = bool(cfg.nee and scene.num_lights > 0 and isect is not None)
-    r = origin.shape[0]
+    r = origin.shape[1] if cm else origin.shape[0]
     safe_obj = jnp.maximum(obj, 0)
     safe_tri = jnp.maximum(tri, 0)
-    # ONE [T, 64] row gather covers both shade tables (the owning
-    # object's obj_shade row rides in cols 32:64; miss lanes read an
-    # arbitrary-but-valid row either way and are masked in the kernel).
-    ts64 = jnp.take(scene.tri_shade, safe_tri, axis=0)    # [R, 64]
-    tshade = ts64[:, 0:32]
-    oshade = ts64[:, 32:64]
     bounce_v = jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (r,))
 
     bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-    extra = []
-    if scene.has_textures:
-        oshade, ff_mapped, has_n = _resolve_tex_prologue(
-            scene, cfg, origin, direction, t, safe_obj, oshade, tshade)
-        extra = [ff_mapped.T, bf(has_n.astype(jnp.int32))[None, :]]
-    rows = jnp.concatenate([
-        origin.T, direction.T, mask.T, acc.T, t[None, :],
-        bf(seed.astype(jnp.int32)).T,
+    rowsof = (lambda a: a) if cm else (lambda a: a.T)
+    # Small untextured scenes select the shade-table rows INSIDE the
+    # kernel (shade.py tri_sel): no [R, 64] gather, no table
+    # transposes — the triangle id rides as one row.
+    tri_sel = (not scene.has_textures
+               and scene.tri_shade.shape[0] <= SHADE_SEL_MAX_TRIS)
+    state_rows = [
+        rowsof(origin), rowsof(direction), rowsof(mask), rowsof(acc),
+        t[None, :],
+        rowsof(bf(seed.astype(jnp.int32))),
         bf(alive.astype(jnp.int32))[None, :],
         prev_pdf[None, :],
         bf(bounce_v)[None, :],
-        tshade.T, oshade.T,
-    ] + extra, axis=0)  # [IN_K or IN_K_TEX, R]
+    ]
+    tri_block = None
+    if tri_sel:
+        tri_block = ps.build_tri_block(scene.tri_shade)
+        rows = jnp.concatenate(
+            state_rows + [bf(safe_tri)[None, :]], axis=0)  # [IN_K_SEL, R]
+    else:
+        # ONE [T, 64] row gather covers both shade tables (scene/
+        # types.py tri_shade layout: cols 32:64 are the owning object's
+        # obj_shade row; miss lanes read an arbitrary-but-valid row
+        # either way and are masked in the kernel).
+        ts64 = jnp.take(scene.tri_shade, safe_tri, axis=0)    # [R, 64]
+        tshade = ts64[:, 0:32]
+        oshade = ts64[:, 32:64]
+        extra = []
+        if scene.has_textures:
+            # The texture prologue's gathers/interpolation are [R, ...]
+            # shaped; feed it row-major views (textured scenes only).
+            oshade, ff_mapped, has_n = _resolve_tex_prologue(
+                scene, cfg, origin.T if cm else origin,
+                direction.T if cm else direction, t, safe_obj, oshade,
+                tshade)
+            extra = [ff_mapped.T, bf(has_n.astype(jnp.int32))[None, :]]
+        rows = jnp.concatenate(
+            state_rows + [tshade.T, oshade.T] + extra,
+            axis=0)  # [IN_K or IN_K_TEX, R]
 
     tile = min(cfg.shade_tile, r)
     rp = ((r + tile - 1) // tile) * tile
@@ -384,31 +425,34 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
                           rand_kind="parity" if cfg.parity_rng
                           else "threefry",
                           tile=tile, interpret=interpret, nee=nee,
-                          light_block=light_block)[:, :r]
+                          light_block=light_block,
+                          tri_block=tri_block)[:, :r]
 
     bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-    origin = out[ps.O_OX:ps.O_OZ + 1].T
-    direction = out[ps.O_DX:ps.O_DZ + 1].T
-    mask = out[ps.O_MR:ps.O_MB + 1].T
-    acc = out[ps.O_AR:ps.O_AB + 1].T
-    seed = bi(out[ps.O_S0:ps.O_S1 + 1]).astype(jnp.uint32).T
+    unrows = (lambda a: a) if cm else (lambda a: a.T)
+    origin = unrows(out[ps.O_OX:ps.O_OZ + 1])
+    direction = unrows(out[ps.O_DX:ps.O_DZ + 1])
+    mask = unrows(out[ps.O_MR:ps.O_MB + 1])
+    acc = unrows(out[ps.O_AR:ps.O_AB + 1])
+    seed = unrows(bi(out[ps.O_S0:ps.O_S1 + 1]).astype(jnp.uint32))
     alive = bi(out[ps.O_ALIVE]) != 0
     prev_pdf = out[ps.O_SKIP]
     if nee:
-        shadow_o = out[ps.O_SOX:ps.O_SOZ + 1].T
-        shadow_d = out[ps.O_SDX:ps.O_SDZ + 1].T
+        shadow_o = unrows(out[ps.O_SOX:ps.O_SOZ + 1])
+        shadow_d = unrows(out[ps.O_SDX:ps.O_SDZ + 1])
         t_lim = out[ps.O_TLIM]
-        contrib = out[ps.O_CR:ps.O_CB + 1].T
+        contrib = out[ps.O_CR:ps.O_CB + 1]
         t_s, _, _ = isect(scene, shadow_o, shadow_d, eps=cfg.eps,
                           t_max=t_lim)
         visible = t_s >= t_lim
-        acc = acc + jnp.where(visible[:, None], contrib, 0.0)
+        acc = acc + (jnp.where(visible[None, :], contrib, 0.0) if cm
+                     else jnp.where(visible[:, None], contrib.T, 0.0))
     return origin, direction, acc, mask, alive, seed, prev_pdf
 
 
 def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                alive, seed, bounce, t, obj, tri, prev_pdf=None,
-               isect=None, rand=None):
+               isect=None, rand=None, cm: bool = False):
     """One shading iteration of the traceRay loop
     (path_tracing.comp:219-323), given the intersection results.
 
@@ -435,7 +479,21 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         return _shade_step_pallas(
             scene, cfg, origin, direction, acc, mask, alive, seed,
             bounce, t, obj, tri, prev_pdf,
-            interpret=(shade_mode == "shade_interpret"), isect=isect)
+            interpret=(shade_mode == "shade_interpret"), isect=isect,
+            cm=cm)
+    if cm:
+        # The jnp shading tail is [R, 3]-shaped throughout; transpose at
+        # the boundary (configs that shade here — CPU runs, >512-light
+        # NEE — are not the hot path the cm pool exists for).  The
+        # shadow-ray isect closure stays cm, so wrap it to match.
+        cm_isect = isect
+        if isect is not None:
+            isect = lambda s, o, d, **kw: cm_isect(s, o.T, d.T, **kw)
+        o2, d2, a2, m2, al2, s2, pp2 = shade_step(
+            scene, cfg, origin.T, direction.T, acc.T, mask.T, alive,
+            seed.T, bounce, t, obj, tri, prev_pdf=prev_pdf, isect=isect,
+            rand=rand)
+        return o2.T, d2.T, a2.T, m2.T, al2, s2.T, pp2
 
     miss = alive & (t >= INF)
     # Reference assigns (not adds) mask*env on miss (:220-223).

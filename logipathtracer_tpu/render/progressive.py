@@ -176,7 +176,8 @@ class ProgressiveRenderer:
                 wavefront_chunk, wavefront_pool_state)
             if self._wf_state is None:
                 npix = self.config.render_width * self.config.render_height
-                self._wf_state = wavefront_pool_state(min(pool, npix), npix)
+                self._wf_state = wavefront_pool_state(
+                    min(pool, npix), npix, cm=self.config.pool_cm)
                 self._wf_rays_base = self.total_rays
             self._wf_state = wavefront_chunk(
                 self.scene, self.config, cam, fov, seeds, self._wf_state)

@@ -105,8 +105,29 @@ def unblock_accum(accum, blocked: bool, bh: int, bw: int, rows: int, w: int):
     return accum.reshape(rows, w, 3)
 
 
-def wavefront_pool_state(p: int, npix: int):
-    """Fresh pool state: every lane free, zero accumulation."""
+def wavefront_pool_state(p: int, npix: int, cm: bool = False):
+    """Fresh pool state: every lane free, zero accumulation.
+
+    ``cm`` stores the vector state component-major ([3, p] / [2, p]
+    rows, cfg.pool_cm) — lanes on the minor (lane) dim, so every
+    consumer reads naturally-tiled rows instead of [p, 3] columns."""
+    if cm:
+        return dict(
+            origin=jnp.zeros((3, p)),
+            direction=jnp.zeros((3, p)).at[2, :].set(1.0),
+            mask=jnp.ones((3, p)),
+            acc=jnp.zeros((3, p)),
+            seed=jnp.zeros((2, p), jnp.uint32),
+            alive=jnp.zeros((p,), bool),
+            pending=jnp.zeros((p,), bool),
+            prev_pdf=jnp.zeros((p,), jnp.float32),
+            bounce=jnp.zeros((p,), jnp.int32),
+            pixid=jnp.zeros((p,), jnp.int32),
+            next_work=jnp.zeros((), jnp.int32),
+            accum=jnp.zeros((npix, 3)),
+            rays=jnp.zeros((), jnp.float32),
+            it=jnp.zeros((), jnp.int32),
+        )
     return dict(
         origin=jnp.zeros((p, 3)),
         direction=jnp.zeros((p, 3)).at[:, 2].set(1.0),
@@ -132,7 +153,17 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     -> shade.  ``drain=True`` statically removes the regen stage (no new
     work is injected while the pool empties)."""
     h, w = cfg.render_height, cfg.render_width
-    isect = pick_intersect(cfg, scene)
+    cm = cfg.pool_cm
+    if cm and not cfg.sort_variadic:
+        raise ValueError("pool_cm requires sort_variadic (the packed "
+                         "sort is the [P, 3] form)")
+    isect = pick_intersect(cfg, scene, cm=cm)
+    # Layout helpers: lane-broadcast a per-lane condition over a vector
+    # state array, pick component i, and restack sorted component rows.
+    vbc = ((lambda c: c[None, :]) if cm else (lambda c: c[:, None]))
+    comp = ((lambda a, i: a[i]) if cm else (lambda a, i: a[:, i]))
+    vstack = ((lambda xs: jnp.stack(xs, axis=0)) if cm
+              else (lambda xs: jnp.stack(xs, axis=1)))
 
     def body(st):
         origin, direction = st["origin"], st["direction"]
@@ -155,7 +186,7 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             # random and near-sorted row access measured in
             # scripts/maint_probe.py).
             key = jnp.where(
-                alive, ray_sort_key(scene, origin, direction),
+                alive, ray_sort_key(scene, origin, direction, cm=cm),
                 jnp.where(retired, (1 << 18) + 1 + pixid, 1 << 18))
             # bounce (< 2^16), alive, pending share one int row — the
             # permuted payload is the cost, so pack tight; prev_pdf
@@ -177,21 +208,21 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 # safe).
                 seedf = _bitcast_f(seed.astype(jnp.int32))
                 ops = [key,
-                       origin[:, 0], origin[:, 1], origin[:, 2],
-                       direction[:, 0], direction[:, 1], direction[:, 2],
-                       mask[:, 0], mask[:, 1], mask[:, 2],
-                       acc[:, 0], acc[:, 1], acc[:, 2],
-                       seedf[:, 0], seedf[:, 1],
+                       comp(origin, 0), comp(origin, 1), comp(origin, 2),
+                       comp(direction, 0), comp(direction, 1),
+                       comp(direction, 2),
+                       comp(mask, 0), comp(mask, 1), comp(mask, 2),
+                       comp(acc, 0), comp(acc, 1), comp(acc, 2),
+                       comp(seedf, 0), comp(seedf, 1),
                        _bitcast_f(flags), _bitcast_f(pixid)]
                 if cfg.nee:
                     ops.append(prev_pdf)
                 out = jax.lax.sort(tuple(ops), num_keys=1)
-                origin = jnp.stack(out[1:4], axis=1)
-                direction = jnp.stack(out[4:7], axis=1)
-                mask = jnp.stack(out[7:10], axis=1)
-                acc = jnp.stack(out[10:13], axis=1)
-                seed = _bitcast_i(jnp.stack(out[13:15], axis=1)).astype(
-                    jnp.uint32)
+                origin = vstack(out[1:4])
+                direction = vstack(out[4:7])
+                mask = vstack(out[7:10])
+                acc = vstack(out[10:13])
+                seed = _bitcast_i(vstack(out[13:15])).astype(jnp.uint32)
                 flags, pixid = _bitcast_i(out[15]), _bitcast_i(out[16])
                 prev_pdf = (out[17] if cfg.nee
                             else jnp.zeros((p,), jnp.float32))
@@ -233,14 +264,16 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                     # at row 0 with a zero addend keeps the index array
                     # ascending, so the sorted-scatter promise holds.
                     idx = jnp.where(flush[sl], pixid[sl], 0)
-                    return accum.at[idx].add(
-                        jnp.where(flush[sl, None], acc[sl], 0.0),
-                        indices_are_sorted=True)
+                    vals = (jnp.where(flush[sl][None, :],
+                                      acc[:, sl], 0.0).T if cm
+                            else jnp.where(flush[sl, None], acc[sl], 0.0))
+                    return accum.at[idx].add(vals, indices_are_sorted=True)
                 return f
 
             def flush_full(accum):
-                return accum.at[pixid].add(
-                    jnp.where(flush[:, None], acc, 0.0))
+                vals = (jnp.where(flush[None, :], acc, 0.0).T if cm
+                        else jnp.where(flush[:, None], acc, 0.0))
+                return accum.at[pixid].add(vals)
 
             use_bins = (cfg.flush_bins
                         and jax.default_backend() == "tpu"
@@ -258,7 +291,7 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 from logipathtracer_tpu.ops.pallas.flush import flush_bins
 
                 accum = flush_bins(
-                    accum, jnp.where(flush, pixid, -1), acc)
+                    accum, jnp.where(flush, pixid, -1), acc, cm=cm)
             else:
                 # XLA cond ladder: smallest power-of-two tail slice
                 # covering the retired rows (scatter cost is per-row).
@@ -289,8 +322,9 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
              prev_pdf, bounce, pixid, accum) = args
         else:
             flush = pending & ~alive
-            accum = accum.at[pixid].add(
-                jnp.where(flush[:, None], acc, 0.0))
+            vals = (jnp.where(flush[None, :], acc, 0.0).T if cm
+                    else jnp.where(flush[:, None], acc, 0.0))
+            accum = accum.at[pixid].add(vals)
             pending = pending & ~flush
 
         # ---- regenerate free lanes with new work items -----------------
@@ -310,7 +344,12 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             o_new, d_new, nseed = generate_ray(
                 cam_world, fov_y, jnp.stack([px, py], -1), (w, h), nseed,
                 active=valid, rand=get_rand(cfg.parity_rng))
-            vx = valid[:, None]
+            if cm:
+                # Window-sized [n, 3] -> [3, n] relayout (the regen
+                # window is p/8 steady-state; the full-pool arrays
+                # never transpose).
+                o_new, d_new, nseed = o_new.T, d_new.T, nseed.T
+            vx = vbc(valid)
             out = dict(
                 origin=jnp.where(vx, o_new, sub["origin"]),
                 direction=jnp.where(vx, d_new, sub["direction"]),
@@ -353,11 +392,14 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 next_work = args[10]
                 n_alive = jnp.sum(st["alive"].astype(jnp.int32))
                 start = jnp.minimum(n_alive, p - cap_k)
-                sub = {k: jax.lax.dynamic_slice_in_dim(st[k], start, cap_k)
-                       for k in _KEYS}
+                # Lane axis: last under cm ([3, P]/[2, P] rows), first
+                # otherwise (every per-lane array is 1-D either way).
+                ax = {k: (st[k].ndim - 1 if cm else 0) for k in _KEYS}
+                sub = {k: jax.lax.dynamic_slice_in_dim(
+                    st[k], start, cap_k, axis=ax[k]) for k in _KEYS}
                 out, next_work = regen_rows(sub, next_work)
                 st = {k: jax.lax.dynamic_update_slice_in_dim(
-                    st[k], out[k], start, axis=0) for k in _KEYS}
+                    st[k], out[k], start, axis=ax[k]) for k in _KEYS}
                 return tuple(st[k] for k in _KEYS) + (next_work,)
             return f
 
@@ -400,8 +442,8 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         # work for tiles of parked lanes (they sort to the pool tail).
         # Destructive: regen re-fills origin/direction before reuse.
         dead = ~alive
-        origin = jnp.where(dead[:, None], 1e30, origin)
-        direction = jnp.where(dead[:, None], 1.0, direction)
+        origin = jnp.where(vbc(dead), 1e30, origin)
+        direction = jnp.where(vbc(dead), 1.0, direction)
 
         # ---- intersect + shade ----------------------------------------
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
@@ -409,7 +451,7 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         shaded_alive = alive
         origin, direction, acc, mask, alive, seed, prev_pdf = shade_step(
             scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri, prev_pdf=prev_pdf, isect=isect)
+            t, obj, tri, prev_pdf=prev_pdf, isect=isect, cm=cm)
         bounce = jnp.where(shaded_alive, bounce + 1, bounce)
         alive = alive & (bounce < cfg.max_depth)
 
@@ -451,7 +493,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     blocked, bh, bw = pix_layout(cfg, scene, rows, w)
     pix_coords = _make_pix_coords(blocked, bh, bw, w, y0)
 
-    state = wavefront_pool_state(p, npix)
+    state = wavefront_pool_state(p, npix, cm=cfg.pool_cm)
 
     # Lazy maintenance stretches frames over more iterations; keep
     # generous slack for both knobs.
@@ -476,8 +518,10 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     # (with sort_every > 1 the loop can exit between maintenance
     # passes; harmless no-op otherwise).
     final_flush = state["pending"] & ~state["alive"]
-    accum = accum.at[state["pixid"]].add(
-        jnp.where(final_flush[:, None], state["acc"], 0.0))
+    vals = (jnp.where(final_flush[None, :], state["acc"], 0.0).T
+            if cfg.pool_cm
+            else jnp.where(final_flush[:, None], state["acc"], 0.0))
+    accum = accum.at[state["pixid"]].add(vals)
     return (unblock_accum(accum, blocked, bh, bw, rows, w),
             state["rays"], state["it"])
 
@@ -500,7 +544,7 @@ def wavefront_chunk(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     rows = h if rows is None else rows
     y0 = jnp.asarray(y0, jnp.int32)
     npix = rows * w
-    p = state["origin"].shape[0]
+    p = state["pixid"].shape[0]  # lane count, layout-independent
     assert state["accum"].shape[0] == npix, \
         f"pool state npix {state['accum'].shape[0]} != frame {npix}"
     s = ubo_seeds.shape[0]
@@ -538,7 +582,7 @@ def wavefront_drain(scene, cfg: RenderConfig, state,
     rows = h if rows is None else rows
     y0 = jnp.asarray(y0, jnp.int32)
     npix = rows * w
-    p = state["origin"].shape[0]
+    p = state["pixid"].shape[0]  # lane count, layout-independent
     assert state["accum"].shape[0] == npix
     blocked, bh, bw = pix_layout(cfg, scene, rows, w)
     pix_coords = _make_pix_coords(blocked, bh, bw, w, y0)
@@ -560,6 +604,8 @@ def wavefront_drain(scene, cfg: RenderConfig, state,
     # Paranoia flush (mirrors render_wavefront's final flush; a no-op
     # unless max_iters cut the loop short).
     final_flush = state["pending"] & ~state["alive"]
-    accum = state["accum"].at[state["pixid"]].add(
-        jnp.where(final_flush[:, None], state["acc"], 0.0))
+    vals = (jnp.where(final_flush[None, :], state["acc"], 0.0).T
+            if cfg.pool_cm
+            else jnp.where(final_flush[:, None], state["acc"], 0.0))
+    accum = state["accum"].at[state["pixid"]].add(vals)
     return dict(state, accum=accum, pending=state["pending"] & ~final_flush)

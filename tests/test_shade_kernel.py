@@ -202,3 +202,39 @@ def test_shade_kernel_textured_matches_jnp():
             f"{name}: {(~close).mean():.2%} mismatched")
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4,
                                    err_msg=name)
+
+
+def test_shade_tri_sel_matches_gather(monkeypatch):
+    """The in-kernel shade-table selection (shade.py tri_sel: exact
+    one-hot matmul against the VMEM-resident split table) must be
+    BIT-identical to the [R, 64] XLA gather form it replaces — every
+    output including RNG state.  Needs a genuinely small scene (the
+    cornell fixture's 13k tris exceed the SHADE_SEL_MAX_TRIS gate)."""
+    import logipathtracer_tpu.render.megakernel as mk
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.procedural import make_box_scene
+
+    scene = compile_scene(make_box_scene(spheres=1, subdiv=1))
+    assert 0 < scene.tri_shade.shape[0] <= mk.SHADE_SEL_MAX_TRIS
+    n = 512
+    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
+    cfg = cfg0.replace(shade="shade_interpret", shade_tile=256)
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
+    prev_pdf = jnp.zeros((n,), jnp.float32)
+    bounce = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
+
+    args = (scene, cfg, origin, direction, acc, mask, alive, seed,
+            bounce, t, obj, tri)
+    out_sel = shade_step(*args, prev_pdf=prev_pdf)
+    monkeypatch.setattr(mk, "SHADE_SEL_MAX_TRIS", 0)  # force gather form
+    out_gather = shade_step(*args, prev_pdf=prev_pdf)
+    for name, a, b in zip(("origin", "direction", "acc", "mask", "alive",
+                           "seed", "prev_pdf"), out_sel, out_gather):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            assert (a.view(np.int32) == b.view(np.int32)).all(), name
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
