@@ -171,3 +171,36 @@ def test_flush_bins_matches_scatter_on_hardware(rng):
     touched = np.zeros(npix, bool)
     touched[pix] = True
     assert (got[~touched] == accum0[~touched]).all()
+
+
+def test_mxu_mt_matches_vpu_on_hardware(cornell_scene):
+    """MXU Möller-Trumbore v2 (fast-recip epilogue, roll rank,
+    worklist) vs the production VPU compact kernel on real cornell
+    primaries: same hits up to the documented reassociation ulps of
+    the bilinear form (centroid-localized features + bf16x3 HIGHEST
+    matmul; same class as the one-hot tail)."""
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    from logipathtracer_tpu.ops.traverse import intersect_scene_sweep
+
+    scene = cornell_scene
+    cam = scene.cameras[0]
+    h = w = 128
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
+                           jnp.float32(cam.yfov), pix, (w, h), seed)
+
+    tv, ov, rv = intersect_scene_sweep(scene, o, d, backend="compact",
+                                       tile=1024, cap=128,
+                                       rank_mode="roll", worklist=True)
+    tm, om, rm = intersect_scene_sweep(scene, o, d, backend="compact",
+                                       tile=1024, cap=128, mxu=True,
+                                       rank_mode="roll", worklist=True)
+    tv, tm = np.asarray(tv), np.asarray(tm)
+    both_hit = np.isfinite(tv) & np.isfinite(tm)
+    assert (np.isfinite(tv) == np.isfinite(tm)).mean() > 1.0 - 1e-3
+    np.testing.assert_allclose(tm[both_hit], tv[both_hit],
+                               rtol=1e-4, atol=1e-5)
