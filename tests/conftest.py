@@ -54,3 +54,22 @@ def cornell_scene(cornell_gltf):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Free compiled executables between test modules.
+
+    XLA:CPU segfaults on this host once a single process accumulates
+    enough compiled code: the FULL suite reliably dies compiling a
+    late heavyweight graph (test_wavefront's sort_every=2 body) in
+    backend_compile_and_load, while either half of the suite + that
+    same test passes — a cumulative JIT code-memory failure, not a
+    specific graph (utils/cache.py documents the sibling serialize/
+    deserialize crashes).  Dropping the jit caches per module bounds
+    the resident compiled-code volume; cross-module graph reuse was
+    already near zero (graphs are file-specific), so the cost is
+    seconds, not minutes.
+    """
+    yield
+    jax.clear_caches()
