@@ -202,3 +202,30 @@ def test_pool_cm_carryover_bit_identical(cornell_scene):
         st = wavefront_drain(cornell_scene, cfg, st)
         outs[cmf] = np.asarray(st["accum"])
     assert (outs[False].view(np.int32) == outs[True].view(np.int32)).all()
+
+
+@pytest.mark.parametrize("knobs", [dict(nee=True), dict(textured=True)])
+def test_pool_cm_fused_kernel_paths(knobs):
+    """The cm layout through the FUSED shade kernel's special paths —
+    in-kernel NEE (shadow-query rows, contribution add) and the
+    textured prologue (which transposes at the [R, ...] boundary) —
+    vs the same config on the [P, 3] pool.  CPU runs shade through jnp
+    by default, so these force shade_interpret to trace the kernel."""
+    from logipathtracer_tpu.scene.compile import compile_scene
+    from logipathtracer_tpu.scene.procedural import make_box_scene
+
+    textured = knobs.pop("textured", False)
+    cfg = RenderConfig(width=32, height=32, max_depth=4, intersect="bvh",
+                       shade="shade_interpret", shade_tile=256, **knobs)
+    scene = compile_scene(make_box_scene(spheres=1, subdiv=1,
+                                         textured=textured), cfg)
+    cam = scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray(SEEDS[:1], jnp.uint32))
+    pm, rays_pm, _ = render_wavefront(scene, cfg, *args, pool=512)
+    cm, rays_cm, _ = render_wavefront(scene, cfg.replace(pool_cm=True),
+                                      *args, pool=512)
+    pm, cm = np.asarray(pm), np.asarray(cm)
+    assert float(rays_pm) == float(rays_cm)
+    # Same FMA-formation caveat as test_pool_cm_bit_identical.
+    np.testing.assert_allclose(cm, pm, rtol=3e-6, atol=1e-7)
