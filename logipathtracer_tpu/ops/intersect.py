@@ -15,8 +15,11 @@ All functions broadcast over leading batch dims; vectors are [..., 3].
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(3.4e38)  # shaders/common/constants.glsl:9
+# numpy scalar, NOT jnp: a module-level jnp scalar initializes the
+# default backend at import time (hangs when the axon tunnel is down).
+INF = np.float32(3.4e38)  # shaders/common/constants.glsl:9
 
 
 def ray_aabb_test(origin, inv_dir, box_min, box_max, best_t):

@@ -28,11 +28,16 @@ maps config.parity_rng to the right one.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MUL = jnp.uint32(1103515245)
+# Module-level constants must be NUMPY scalars: a jnp scalar here would
+# initialize the default backend at import time, which hangs for ~27 min
+# when the axon tunnel is down (CLAUDE.md).  numpy scalars promote
+# identically inside traced code.
+_MUL = np.uint32(1103515245)
 # float(0xffffffffu) rounds to 4.2949673e9 in f32; the reference divides
 # by it (random.glsl:14).
-_INV = jnp.float32(1.0) / jnp.float32(4294967295.0)
+_INV = np.float32(1.0) / np.float32(4294967295.0)
 
 
 def seed_from_pixel(ubo_seed: jnp.ndarray, pixel_xy: jnp.ndarray,
@@ -75,11 +80,11 @@ def rand_parity_masked(state: jnp.ndarray, mask: jnp.ndarray):
 # ---- Threefry-2x32 (quality path) -----------------------------------
 
 # Fixed generator key; per-stream variation lives in the counter words.
-_TF_K0 = jnp.uint32(0x1BD11BDA ^ 0xCAFEF00D ^ 0xBAADF00D)
-_TF_KS = (jnp.uint32(0xCAFEF00D), jnp.uint32(0xBAADF00D))
+_TF_K0 = np.uint32(0x1BD11BDA ^ 0xCAFEF00D ^ 0xBAADF00D)
+_TF_KS = (np.uint32(0xCAFEF00D), np.uint32(0xBAADF00D))
 _TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 # 2^-24 scale on the top 24 bits: uniform in [0, 1), never 1.0.
-_INV24 = jnp.float32(1.0 / 16777216.0)
+_INV24 = np.float32(1.0 / 16777216.0)
 
 
 def _threefry2x32(c0: jnp.ndarray, c1: jnp.ndarray):

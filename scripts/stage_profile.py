@@ -53,7 +53,16 @@ def main():
                          "32-wide shade-table row gathers, the "
                          "component-major rows build, and the fused "
                          "kernel alone (untextured configs only)")
+    ap.add_argument("--cm", action="store_true",
+                    help="profile the component-major pool layout "
+                         "(cfg.pool_cm): state rides as [3, P]/[2, P] "
+                         "rows through sort/regen/isect/shade")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing the "
+                         "profile harness off-TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from logipathtracer_tpu.scene.compile import compile_scene
     from logipathtracer_tpu.scene.gltf import load_gltf
@@ -61,7 +70,15 @@ def main():
                        shade=args.shade,
                        compact_worklist=not args.no_worklist,
                        fill_fast=args.fill_fast, mt_mxu=args.mxu,
-                       sort_variadic=not args.no_sort_variadic)
+                       sort_variadic=not args.no_sort_variadic,
+                       pool_cm=args.cm)
+    cm = args.cm
+    # Layout helpers (mirror render/wavefront.py): broadcast a per-lane
+    # condition over vector state, pick component i, restack rows.
+    vbc = ((lambda c: c[None, :]) if cm else (lambda c: c[:, None]))
+    comp = ((lambda a, i: a[i]) if cm else (lambda a, i: a[:, i]))
+    vstack = ((lambda xs: jnp.stack(xs, axis=0)) if cm
+              else (lambda xs: jnp.stack(xs, axis=1)))
     if args.scene == "outside":
         from logipathtracer_tpu.scene.procedural import make_outside_scene
         scene = compile_scene(make_outside_scene(), cfg)
@@ -79,7 +96,7 @@ def main():
     total = s * npix
     ubo_seeds = jnp.asarray(np.random.default_rng(0).integers(
         1, 2 ** 31, (s, 2)), jnp.uint32)
-    isect = pick_intersect(cfg, scene)
+    isect = pick_intersect(cfg, scene, cm=cm)
     rand = get_rand(cfg.parity_rng)
     cam_world = jnp.asarray(cam.world_matrix)
     fov = jnp.float32(cam.yfov)
@@ -111,14 +128,16 @@ def main():
         o_new, d_new, nseed = generate_ray(
             cam_world, fov, jnp.stack([px, py], -1), (w, h), nseed,
             active=valid, rand=rand)
-        vx = valid[:, None]
+        if cm:
+            o_new, d_new, nseed = o_new.T, d_new.T, nseed.T
+        vx = vbc(valid)
         alive2 = alive | valid
         origin = jnp.where(vx, o_new, origin)
         direction = jnp.where(vx, d_new, direction)
         # park still-dead lanes (production does this before isect)
-        park = ~alive2
-        origin = jnp.where(park[:, None], 1e30, origin)
-        direction = jnp.where(park[:, None], 1.0, direction)
+        park = vbc(~alive2)
+        origin = jnp.where(park, 1e30, origin)
+        direction = jnp.where(park, 1.0, direction)
         return (origin, direction,
                 jnp.where(vx, 1.0, mask), jnp.where(vx, 0.0, acc),
                 jnp.where(vx, nseed, seed),
@@ -158,23 +177,24 @@ def main():
                            pending, prev_pdf, bounce, pixid):
         # production cfg.sort_variadic=True form (wavefront.py)
         retired = pending & ~alive
-        key = jnp.where(alive, ray_sort_key(scene, origin, direction),
+        key = jnp.where(alive,
+                        ray_sort_key(scene, origin, direction, cm=cm),
                         jnp.where(retired, (1 << 18) + 1 + pixid,
                                   1 << 18))
         bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         seedf = bf(seed.astype(jnp.int32))
         out = jax.lax.sort(
-            (key, origin[:, 0], origin[:, 1], origin[:, 2],
-             direction[:, 0], direction[:, 1], direction[:, 2],
-             mask[:, 0], mask[:, 1], mask[:, 2],
-             acc[:, 0], acc[:, 1], acc[:, 2],
-             seedf[:, 0], seedf[:, 1],
+            (key, comp(origin, 0), comp(origin, 1), comp(origin, 2),
+             comp(direction, 0), comp(direction, 1), comp(direction, 2),
+             comp(mask, 0), comp(mask, 1), comp(mask, 2),
+             comp(acc, 0), comp(acc, 1), comp(acc, 2),
+             comp(seedf, 0), comp(seedf, 1),
              bf(alive.astype(jnp.int32)), bf(pending.astype(jnp.int32)),
              prev_pdf, bf(bounce), bf(pixid)), num_keys=1)
-        return (jnp.stack(out[1:4], 1), jnp.stack(out[4:7], 1),
-                jnp.stack(out[7:10], 1), jnp.stack(out[10:13], 1),
-                bi(jnp.stack(out[13:15], 1)).astype(jnp.uint32),
+        return (vstack(out[1:4]), vstack(out[4:7]),
+                vstack(out[7:10]), vstack(out[10:13]),
+                bi(vstack(out[13:15])).astype(jnp.uint32),
                 bi(out[15]) != 0, bi(out[16]) != 0, out[17],
                 bi(out[18]), bi(out[19]))
 
@@ -210,7 +230,8 @@ def main():
               obj, tri, prev_pdf):
         return shade_step(scene, cfg, origin, direction, acc, mask,
                           alive, seed, bounce, t, obj, tri,
-                          prev_pdf=prev_pdf, isect=isect, rand=rand)
+                          prev_pdf=prev_pdf, isect=isect, rand=rand,
+                          cm=cm)
 
     flush_cap = min(p, 1 << 18)
     use_bins = (cfg.flush_bins and jax.default_backend() == "tpu"
@@ -228,20 +249,24 @@ def main():
         if use_bins:
             from logipathtracer_tpu.ops.pallas.flush import flush_bins
 
-            accum = flush_bins(accum, jnp.where(fl, pixid, -1), acc)
+            accum = flush_bins(accum, jnp.where(fl, pixid, -1), acc,
+                               cm=cm)
             return accum, pending & alive
 
         def flush_tail(cap_k):
             def f(accum):
                 sl = slice(p - cap_k, p)
                 idx = jnp.where(fl[sl], pixid[sl], 0)
-                return accum.at[idx].add(
-                    jnp.where(fl[sl, None], acc[sl], 0.0),
-                    indices_are_sorted=True)
+                vals = (jnp.where(fl[sl][None, :], acc[:, sl], 0.0).T
+                        if cm
+                        else jnp.where(fl[sl, None], acc[sl], 0.0))
+                return accum.at[idx].add(vals, indices_are_sorted=True)
             return f
 
         def flush_full(accum):
-            return accum.at[pixid].add(jnp.where(fl[:, None], acc, 0.0))
+            vals = (jnp.where(fl[None, :], acc, 0.0).T if cm
+                    else jnp.where(fl[:, None], acc, 0.0))
+            return accum.at[pixid].add(vals)
 
         caps = [c for c in (flush_cap // 4, flush_cap // 2, flush_cap)
                 if 0 < c < p]
@@ -253,9 +278,16 @@ def main():
         return accum, pending & alive
 
     # state
-    origin = jnp.zeros((p, 3)); direction = jnp.zeros((p, 3)).at[:, 2].set(1.0)
-    mask = jnp.ones((p, 3)); acc = jnp.zeros((p, 3))
-    seed = jnp.zeros((p, 2), jnp.uint32)
+    if cm:
+        origin = jnp.zeros((3, p))
+        direction = jnp.zeros((3, p)).at[2, :].set(1.0)
+        mask = jnp.ones((3, p)); acc = jnp.zeros((3, p))
+        seed = jnp.zeros((2, p), jnp.uint32)
+    else:
+        origin = jnp.zeros((p, 3))
+        direction = jnp.zeros((p, 3)).at[:, 2].set(1.0)
+        mask = jnp.ones((p, 3)); acc = jnp.zeros((p, 3))
+        seed = jnp.zeros((p, 2), jnp.uint32)
     alive = jnp.zeros((p,), bool); pending = jnp.zeros((p,), bool)
     prev_pdf = jnp.zeros((p,))
     bounce = jnp.zeros((p,), jnp.int32); pixid = jnp.zeros((p,), jnp.int32)
@@ -292,6 +324,11 @@ def main():
             out = fn(*inputs)
         sync(out)
         return (time.perf_counter() - t0 - floor_ms * 1e-3) / K, out
+
+    if cm and (args.sort_split or args.shade_split or args.dump
+               or not cfg.sort_variadic):
+        raise SystemExit("--cm supports the production variadic path "
+                         "only (no --sort-split/--shade-split/--dump)")
 
     stages = {k: [] for k in ("sort", "flush", "regen", "isect", "shade")}
     dumps = {}
