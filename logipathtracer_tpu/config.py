@@ -135,6 +135,14 @@ class RenderConfig:
                                   # of the (tiles x chunks) grid
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
+    stream_block: int = 0         # > 0: the worklist stream kernel
+                                  # compacts each fired chunk's slab-
+                                  # passing lanes ONCE into dense
+                                  # stream_block-lane blocks and sweeps
+                                  # the chunk's clusters on those
+                                  # (O(tile) work per fired CHUNK, not
+                                  # per fired cluster); 0 = per-cluster
+                                  # compaction (stream_cap)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

@@ -178,6 +178,33 @@ def _roll_prefix_consts(g_n: int, cap: int, tile: int):
     return lane_iota, sub_iota, iota_cap_t, iota_cap_t.astype(jnp.bfloat16)
 
 
+def _rank_roll(hit, lane_iota, sub_iota, g_n: int, tile: int):
+    """Exclusive prefix rank of a [tile] hit mask via log-step rolls in
+    the natural [G, 128] layout (the rank_mode='roll' chain).  Returns
+    (rank_flat [1, tile] f32 — the hit mask folded in as -1 on non-hit
+    lanes, so one-hot builds are ONE compare + cast — and n, the f32
+    total hit count)."""
+    h2 = hit.astype(jnp.float32).reshape(g_n, 128)
+    inc = h2
+    k = 1
+    while k < 128:
+        inc = inc + jnp.where(lane_iota >= k,
+                              pltpu.roll(inc, k, axis=1), 0.0)
+        k *= 2
+    colex = inc - h2                   # exclusive, within each row
+    tot = inc[:, 127:128]              # [G, 1] row totals
+    ro = tot
+    k = 1
+    while k < g_n:
+        ro = ro + jnp.where(sub_iota >= k,
+                            pltpu.roll(ro, k, axis=0), 0.0)
+        k *= 2
+    n = ro[g_n - 1, 0]
+    ro = ro - tot                      # exclusive row offsets
+    rank_flat = jnp.where(h2 > 0.5, colex + ro, -1.0).reshape(1, tile)
+    return rank_flat, n
+
+
 def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
@@ -202,33 +229,16 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
     the per-fired-cluster cost on hardware."""
     lane_iota, sub_iota, iota_cap_t, iota_cap_bf = rconsts
     tile = g_n * 128
-    h2 = hit.astype(jnp.float32).reshape(g_n, 128)
     if ablate == "norank":
         rank_flat = jnp.broadcast_to(
             lane_iota[0:1, :].astype(jnp.float32), (1, 128))
         rank_flat = jnp.concatenate([rank_flat] * g_n, axis=1)
-        n = jnp.sum(h2)
+        n = jnp.sum(hit.astype(jnp.float32))
     else:
-        inc = h2
-        k = 1
-        while k < 128:
-            inc = inc + jnp.where(lane_iota >= k,
-                                  pltpu.roll(inc, k, axis=1), 0.0)
-            k *= 2
-        colex = inc - h2                   # exclusive, within each row
-        tot = inc[:, 127:128]              # [G, 1] row totals
-        ro = tot
-        k = 1
-        while k < g_n:
-            ro = ro + jnp.where(sub_iota >= k,
-                                pltpu.roll(ro, k, axis=0), 0.0)
-            k *= 2
-        n = ro[g_n - 1, 0]
-        ro = ro - tot                      # exclusive row offsets
-        # Fold the hit mask into the rank (-1 on non-hit lanes): the
+        # Hit mask folded into the rank (-1 on non-hit lanes): the
         # per-block one-hot then needs only ONE compare + bf16 cast
         # over [cap, tile] instead of sub/cmp/and/cast.
-        rank_flat = jnp.where(h2 > 0.5, colex + ro, -1.0).reshape(1, tile)
+        rank_flat, n = _rank_roll(hit, lane_iota, sub_iota, g_n, tile)
     nb = jax.lax.convert_element_type(
         jnp.ceil(n * (1.0 / cap)), jnp.int32)
     feats3 = _split3(feats6)               # [18, tile] bf16
@@ -719,6 +729,186 @@ def _worklist_compact_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
     obj_out[0] = best_obj[:]
 
 
+def _worklist_block_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
+                           chunk_aabb_ref, aabb_ref, rays_ref, tris_hbm,
+                           t_out, tri_out, obj_out, tris_buf, sem,
+                           best_t, best_tri, best_obj, blk, *, chunk: int,
+                           num_real: int, eps: float, tile: int,
+                           lanes: int, ccap: int, has_tmax: bool,
+                           fast: bool = True):
+    """Chunk-level lane compaction for the worklist stream sweep.
+
+    The per-cluster compact update of _worklist_compact_kernel is
+    O(tile) machinery (rank rolls, [cap, tile] one-hot, K=tile gather/
+    scatter matmuls) per FIRED CLUSTER — measured 165.6 fired clusters
+    per 4096-ray tile with a mean of only 16.8 slab-passing lanes each
+    on the outside-class bounce pool (ROADMAP round 3): ~99.6% of every
+    update is padding.  Here the O(tile) work happens once per FIRED
+    CHUNK (53.8/tile on the same pool): the lanes passing the chunk's
+    world slab (~200 mean) are compacted into ONE dense ``ccap``-lane
+    block, and the chunk's clusters run their local-ray fill, slab cull
+    and dense Möller-Trumbore on the block's lanes only — 16x narrower
+    — with a single acceptance scatter back per block.
+
+    Hit semantics match _worklist_compact_kernel: lanes in the block
+    that fail a cluster's slab still enter its MT, but a valid triangle
+    hit closer than best_t implies its cluster slab passes, so the
+    strict-< acceptance admits exactly the same winners (up to the
+    documented fast-reciprocal near-tie class; NaN/INF t from degenerate
+    padding lanes fail ``t > eps`` and become BIG).  Cull feedback is
+    exact: block lanes see best-t updates immediately (blk row 0), and
+    the tile-level best_t is merged before the next chunk's slab test.
+
+    Reference capability: shaders/path_tracing.comp:130-209 (same
+    two-level traversal contract as every other sweep kernel).
+    """
+    from logipathtracer_tpu.ops.pallas.cluster_intersect import _local_ray
+
+    i = pl.program_id(0)
+    n = wn_ref[i]
+    g_n = tile // 128
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+    # Hoisted world-ray reciprocals for the per-chunk slab (exact
+    # divides — bit-identical to _slab's, paid once per tile).
+    iwx = 1.0 / dx
+    iwy = 1.0 / dy
+    iwz = 1.0 / dz
+
+    best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(g_n, 128), BIG)
+                 if has_tmax else jnp.full((g_n, 128), BIG))
+    best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
+    best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (ccap, lanes), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 128), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 1), 0)
+    iota_ccap_t = jax.lax.broadcasted_iota(
+        jnp.int32, (ccap, tile), 0).astype(jnp.float32)
+
+    def get_dma(slot, widx):
+        jc = wl_ref[i, widx]
+        return pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(jc * chunk, chunk)], tris_buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def wl_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        jc = wl_ref[i, j]
+        camin = (chunk_aabb_ref[0, jc], chunk_aabb_ref[1, jc],
+                 chunk_aabb_ref[2, jc])
+        camax = (chunk_aabb_ref[3, jc], chunk_aabb_ref[4, jc],
+                 chunk_aabb_ref[5, jc])
+        bt_flat = best_t[:].reshape(tile)
+        # Live best_t re-test: the prepass culled at INF, so
+        # front-to-back fills prune whole chunks here.
+        chunk_hit = _slab_inv(ox, oy, oz, iwx, iwy, iwz, camin, camax,
+                              bt_flat)
+        get_dma(slot, j).wait()
+
+        @pl.when(jnp.any(chunk_hit))
+        def _():
+            rank_flat, npass = _rank_roll(chunk_hit, lane_iota, sub_iota,
+                                          g_n, tile)
+            nb = jax.lax.convert_element_type(
+                jnp.ceil(npass * (1.0 / ccap)), jnp.int32)
+            feats = jnp.concatenate([
+                ox[None], oy[None], oz[None],
+                dx[None], dy[None], dz[None],
+                bt_flat[None]], axis=0)                    # [7, tile]
+            feats3 = _split3(feats)                        # [21, tile]
+
+            def block_body(b, _):
+                basef = jax.lax.convert_element_type(b, jnp.float32) * ccap
+                p_t = (rank_flat - basef == iota_ccap_t).astype(
+                    jnp.bfloat16)                          # [ccap, tile]
+                acc = _dot_onehot(feats3, p_t, 7, ((1,), (1,)))  # [7, ccap]
+                box, boy, boz = acc[0], acc[1], acc[2]
+                bdx, bdy, bdz = acc[3], acc[4], acc[5]
+                # blk rows: best_t, tri (f32, exact < 2^24), obj,
+                # improved flag.  Padding block slots gather zeros
+                # (best_t 0 -> nothing beats it) and have all-zero
+                # one-hot columns, so they can never scatter back.
+                blk[0, :] = acc[6]
+                blk[1, :] = jnp.zeros((ccap,), jnp.float32)
+                blk[2, :] = jnp.zeros((ccap,), jnp.float32)
+                blk[3, :] = jnp.zeros((ccap,), jnp.float32)
+
+                def cl_body(k, _):
+                    c = jc * chunk + k
+                    obj = meta_ref[0, c]
+                    tri_base = meta_ref[1, c]
+                    (lox, loy, loz, ldx, ldy, ldz, ix, iy, iz) = \
+                        _local_ray(inv_ref, obj, box, boy, boz,
+                                   bdx, bdy, bdz, fast)
+                    amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+                    amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+                    hitc = _slab_inv(lox, loy, loz, ix, iy, iz, amin,
+                                     amax, blk[0, :])
+
+                    @pl.when(jnp.any(hitc) & (c < num_real))
+                    def _():
+                        t = _mt_cluster(lox, loy, loz, ldx, ldy, ldz,
+                                        tris_buf[slot, k], eps,
+                                        fast=fast)         # [ccap, S]
+                        ok = t > eps
+                        t = jnp.where(ok, t, BIG)
+                        tmin = jnp.min(t, axis=1)
+                        is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+                        sl = jnp.min(jnp.where(is_min, slot_ids, lanes),
+                                     axis=1)
+                        du = (tmin < BIG) & (tmin < blk[0, :])
+                        blk[0, :] = jnp.where(du, tmin, blk[0, :])
+                        blk[1, :] = jnp.where(
+                            du,
+                            jax.lax.convert_element_type(
+                                tri_base + sl, jnp.float32),
+                            blk[1, :])
+                        blk[2, :] = jnp.where(
+                            du,
+                            jax.lax.convert_element_type(obj, jnp.float32),
+                            blk[2, :])
+                        blk[3, :] = jnp.where(du, 1.0, blk[3, :])
+
+                    return 0
+
+                jax.lax.fori_loop(0, chunk, cl_body, 0)
+
+                out = _dot_onehot(_split3(blk[:, :]), p_t, 4,
+                                  ((1,), (0,)))            # [4, tile]
+                o2 = [out[r].reshape(g_n, 128) for r in range(4)]
+                du = (o2[3] > 0.5) & (o2[0] < best_t[:])
+                best_t[:] = jnp.where(du, o2[0], best_t[:])
+                best_tri[:] = jnp.where(
+                    du, o2[1].astype(jnp.int32), best_tri[:])
+                best_obj[:] = jnp.where(
+                    du, o2[2].astype(jnp.int32), best_obj[:])
+                return 0
+
+            jax.lax.fori_loop(0, nb, block_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n, wl_body, 0)
+
+    t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
+    tri_out[0] = best_tri[:]
+    obj_out[0] = best_obj[:]
+
+
 def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
                           has_tmax: bool = False):
     """XLA prepass for the worklist kernel: slab every ray against
@@ -792,12 +982,13 @@ def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "has_tmax",
-                                    "cap", "rank_mode"))
+                                    "cap", "rank_mode", "block_cap"))
 def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                obj_world, rays8, tile: int = 4096,
                                chunk: int = 16, eps: float = 1e-4,
                                has_tmax: bool = False, cap: int = 128,
-                               rank_mode: str = "roll"):
+                               rank_mode: str = "roll",
+                               block_cap: int = 0):
     """Closest hit via the worklist-driven streamed compaction sweep.
 
     Same contract/layouts as cluster_intersect_stream; TPU-only (the
@@ -808,6 +999,13 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
     dispatch: a world-space slab of every ray against every chunk AABB
     (fused reduce, no [R, NC] materialization), any-reduced per ray
     tile, then ordered front-to-back along each tile's mean direction.
+
+    ``block_cap`` > 0 switches the kernel to chunk-level lane
+    compaction (_worklist_block_kernel): the lanes passing each fired
+    chunk's slab are compacted ONCE into dense ``block_cap``-lane
+    blocks and the chunk's clusters sweep only those, instead of
+    paying the O(tile) per-fired-cluster update (``cap``/``rank_mode``
+    are then unused).
     """
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         chunk_world_bounds)
@@ -840,10 +1038,17 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                    has_tmax=has_tmax)
 
     grid = (tiles,)
-    kernel = functools.partial(
-        _worklist_compact_kernel, chunk=chunk, num_real=c, eps=eps,
-        tile=tile, lanes=lanes, cap=cap, has_tmax=has_tmax, fast=True,
-        rank_mode=rank_mode)
+    if block_cap > 0:
+        assert block_cap % 8 == 0
+        kernel = functools.partial(
+            _worklist_block_kernel, chunk=chunk, num_real=c, eps=eps,
+            tile=tile, lanes=lanes, ccap=block_cap, has_tmax=has_tmax,
+            fast=True)
+    else:
+        kernel = functools.partial(
+            _worklist_compact_kernel, chunk=chunk, num_real=c, eps=eps,
+            tile=tile, lanes=lanes, cap=cap, has_tmax=has_tmax, fast=True,
+            rank_mode=rank_mode)
 
     meta_t = cl_meta.T
     aabb_t = cl_aabb.T
@@ -876,7 +1081,8 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
             pltpu.VMEM((sub, 128), jnp.float32),            # best_t
             pltpu.VMEM((sub, 128), jnp.int32),              # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),              # best_obj
-        ],
+        ] + ([pltpu.VMEM((4, block_cap), jnp.float32)]      # block best
+             if block_cap > 0 else []),
     )
     outs = pl.pallas_call(
         kernel,
@@ -886,6 +1092,8 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
             jax.ShapeDtypeStruct((tiles, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((tiles, sub, 128), jnp.int32),
         ],
+        **({"compiler_params": _vmem_params(False)}
+           if block_cap > 0 else {}),
     )(wl, wn, meta_t, inv_rows, chunk_aabb_t, aabb_t, rays8, cl_tris)
     return (outs[0].reshape(r), outs[1].reshape(r), outs[2].reshape(r))
 

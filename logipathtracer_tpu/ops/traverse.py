@@ -224,7 +224,8 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
                              tile: int = 4096, chunk: int = 16,
                              t_max=None, cap: int = 128,
-                             rank_mode: str = "roll", cm: bool = False):
+                             rank_mode: str = "roll", cm: bool = False,
+                             block_cap: int = 0):
     """Closest hit via the worklist-driven streamed compaction sweep
     (compact_intersect.py::cluster_intersect_worklist) — the TPU
     production path for beyond-VMEM scenes.  Same contract as
@@ -237,7 +238,8 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
     t, tri, obj = cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
-        has_tmax=t_max is not None, cap=cap, rank_mode=rank_mode)
+        has_tmax=t_max is not None, cap=cap, rank_mode=rank_mode,
+        block_cap=block_cap)
     return t[:r], obj[:r], tri[:r]
 
 
