@@ -69,9 +69,14 @@ def main():
                     help="> 0: A/B the chunk-level lane-compaction "
                          "kernel (block_cap) against the per-cluster "
                          "worklist kernel instead of the grid kernel")
+    ap.add_argument("--cluster", type=int, default=256,
+                    help="scene cluster_size: the stream kernel's "
+                         "per-fired-cluster machinery is launch-bound "
+                         "at ~17 passing lanes (ROADMAP round 3), so "
+                         "bigger clusters amortize it")
     args = ap.parse_args()
 
-    cfg = RenderConfig()
+    cfg = RenderConfig(cluster_size=args.cluster)
     scene = compile_scene(make_outside_scene(), cfg)
     dat = np.load(args.pool)
     o_b = jnp.asarray(dat[f"o{args.it}"])
