@@ -66,8 +66,15 @@ class RenderConfig:
                                   # matches lsg::bvh::SplitBVHBuilder,
                                   # src/PTSceneConverter.cpp:97-98);
                                   # numpy fallback has no splits
-    cluster_size: int = 256       # triangles per sweep cluster (lane
-                                  # dim; 256 won the on-chip autotune)
+    cluster_size: int = 0         # triangles per sweep cluster (lane
+                                  # dim).  0 = auto: 256 for resident-
+                                  # class scenes (won the on-chip
+                                  # autotune), 512 for HBM-streamed
+                                  # scenes (the stream kernels'
+                                  # per-fired-cluster machinery is
+                                  # launch-bound at ~17 passing lanes;
+                                  # 512 measured +30% bounce intersect
+                                  # on the outside-class scene)
 
     # Execution.
     renderer: str = "auto"        # auto | megakernel | wavefront
@@ -107,6 +114,12 @@ class RenderConfig:
                                   # lists) instead of all clusters with
                                   # an in-kernel skip; parked/retired
                                   # tiles cost zero cluster steps
+    compact_batch: int = 1        # worklist sweep: fired clusters per
+                                  # in-kernel loop step (>1 unrolls the
+                                  # dynamic-trip loop to amortize the
+                                  # ~2.4 us/step Mosaic machinery and
+                                  # overlap the independent chains;
+                                  # hits identical, tested)
     mt_mxu: bool = False          # compact sweep: run each block's
                                   # Moller-Trumbore as ONE MXU matmul
                                   # on the bilinear feature form

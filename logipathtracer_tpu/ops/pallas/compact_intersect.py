@@ -394,11 +394,24 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                   eps: float, tile: int, lanes: int,
                   cap: int, has_tmax: bool, mxu: bool = False,
                   fast: bool = True, rank_mode: str = "matmul",
-                  ablate: str = "", fill_fast: bool = False):
+                  ablate: str = "", fill_fast: bool = False,
+                  batch: int = 1, max_ci: int = 0):
     """Shared body of the resident compaction kernels: sweep the
     clusters yielded by ``get_cluster(ci)`` for ci < ``trip`` (octant
     front-to-back order in _compact_kernel; a per-tile fired-cluster
-    worklist in _compact_wl_kernel)."""
+    worklist in _compact_wl_kernel).
+
+    ``batch`` > 1 (worklist mode only): visit ``batch`` clusters per
+    fori_loop step, unrolled with NO per-cluster pl.when — Mosaic's
+    dynamic-trip-count loop costs ~2.4 us/step of fixed machinery
+    (ROADMAP round-3 floor split), and on worklist-prefired clusters
+    the exact-slab branch saves nothing (noskip measured == wl), so
+    fewer/wider steps amortize the floor and let the ``batch``
+    independent slab/rank/MT chains overlap.  Ragged tails are safe
+    without sentinels: visits past ``trip`` read unfired clusters
+    (world-AABB prepass rejected => the exact local slab rejects every
+    lane => zero compaction blocks), and indices are clamped to
+    ``max_ci``-1 (duplicate visits are best-merge idempotent)."""
     g_n = tile // 128
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -491,7 +504,46 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, trip, cl_body, 0)
+    def cl_body_batched(k, _):
+        # One step-start best_t read for all ``batch`` slabs: the
+        # intra-batch cull feedback this forgoes is negligible (the
+        # clusters are front-to-back neighbours) and it keeps the
+        # unrolled chains independent until the serial best merges.
+        bt_flat = best_t[:].reshape(tile)
+        for j in range(batch):
+            c = get_cluster(jnp.minimum(k * batch + j, max_ci - 1))
+            obj = meta_ref[0, c]
+            tri_base = meta_ref[1, c]
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+            hit = _slab_inv(lray[obj, 0, :], lray[obj, 1, :],
+                            lray[obj, 2, :], lray[obj, 6, :],
+                            lray[obj, 7, :], lray[obj, 8, :],
+                            amin, amax, bt_flat)
+            centroid = (0.5 * (amin[0] + amax[0]),
+                        0.5 * (amin[1] + amax[1]),
+                        0.5 * (amin[2] + amax[2])) if mxu else None
+            if use_roll:
+                _compact_cluster_update_roll(
+                    hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
+                    obj, best_t, best_tri, best_obj, consts, slot_ids,
+                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
+                    mxu=mxu, centroid=centroid)
+            else:
+                _compact_cluster_update(
+                    hit, lray[obj, 0:6, :], tris_ref[c], tri_base,
+                    obj, best_t, best_tri, best_obj, consts, slot_ids,
+                    g_n=g_n, cap=cap, lanes=lanes, eps=eps, mxu=mxu,
+                    centroid=centroid, fast=fast)
+        return 0
+
+    if batch > 1:
+        assert ablate == "", "batched worklist loop has no ablations"
+        assert max_ci >= batch
+        jax.lax.fori_loop(0, (trip + batch - 1) // batch,
+                          cl_body_batched, 0)
+    else:
+        jax.lax.fori_loop(0, trip, cl_body, 0)
 
     t_out[0] = jnp.where(best_tri[:] >= 0, best_t[:], INF)
     tri_out[0] = best_tri[:]
@@ -523,7 +575,7 @@ def _compact_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, rays_ref,
     _compact_loop(lambda ci: wl_ref[i, ci], wn_ref[i],
                   meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
                   t_out, tri_out, obj_out, lray, best_t, best_tri,
-                  best_obj, **kw)
+                  best_obj, max_ci=wl_ref.shape[1], **kw)
 
 
 def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
@@ -1101,14 +1153,16 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
                                              "mxu", "rank_mode", "ablate",
-                                             "worklist", "fill_fast"))
+                                             "worklist", "fill_fast",
+                                             "batch"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
                               has_tmax: bool = False, mxu: bool = False,
                               rank_mode: str = "matmul",
                               ablate: str = "", worklist: bool = False,
-                              obj_world=None, fill_fast: bool = False):
+                              obj_world=None, fill_fast: bool = False,
+                              batch: int = 1):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -1150,6 +1204,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     assert tile % 128 == 0 and r % tile == 0 and cap % 8 == 0
     sub = tile // 128
 
+    assert batch == 1 or (worklist and ablate == ""), \
+        "batch > 1 is a worklist-mode knob (no ablations)"
     grid = (r // tile,)
     common = dict(num_objects=o, eps=eps, tile=tile,
                   lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
@@ -1188,7 +1244,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
             scratch_shapes=scratch_shapes,
         )
         outs = pl.pallas_call(
-            functools.partial(_compact_wl_kernel, **common),
+            functools.partial(_compact_wl_kernel, batch=batch, **common),
             grid_spec=grid_spec,
             out_shape=out_shape,
             compiler_params=_vmem_params(interpret),

@@ -15,11 +15,12 @@ ascending):
     each bin's contiguous row segment of the sorted tail;
   * grid (bins,): each step DMAs its segment (128-row-aligned blocks
     of ``cap`` rows, major-dim slices of a [blocks, 4, 128] layout —
-    Mosaic forbids dynamic lane-dim DMA offsets), builds [BW, 128]
-    one-hots from the in-bin pixel offsets, and accumulates one small
-    matmul per 128-row sub-block into the bin's dense accum block —
-    bf16 hi/mid/lo splits keep every f32 addend exact (same argument
-    as compact_intersect._dot_onehot);
+    Mosaic forbids dynamic lane-dim DMA offsets), builds ONE [BW, cap]
+    one-hot from the in-bin pixel offsets, and accumulates ONE
+    [BW, cap] @ [cap, 9] matmul per cap-block (sub-blocks ride the
+    contraction dim, the bf16 hi/mid/lo splits ride the output dim) —
+    the splits keep every f32 addend exact (same argument as
+    compact_intersect._dot_onehot);
   * rows outside the bin (alignment padding, the slice's non-retired
     prefix, neighbours' rows) match no one-hot column, so alignment
     and masking are free.
@@ -78,31 +79,39 @@ def _flush_kernel(s0_ref, nb_ref, ain_ref, tail_ref, aout_ref, tbuf, sem,
     slot0 = b % 2
     first_dma(b, slot0).wait()
 
-    def block(slot, acc0):
-        contrib = acc0
-        for s in range(sub):
-            # row 3 holds the pixel id as an exact f32 (-1 = skip);
-            # rows outside this bin match no one-hot row.
-            pix_rel = tbuf[slot, s, 3:4, :] - binf        # [1, 128]
-            ohb = (iota_bw == pix_rel).astype(jnp.bfloat16)  # [BW, 128]
-            acc = tbuf[slot, s, 0:3, :]                   # [3, 128]
-            ah = acc.astype(jnp.bfloat16)
-            r1 = acc - ah.astype(jnp.float32)
+    def block(slot):
+        """ONE [BW, cap] @ [cap, 9] matmul per cap-block (the per-
+        128-sub-block form issued 3 x sub tiny matmuls per block —
+        ~12k launch-bound dispatches per 1M-pixel flush; collapsing
+        the sub-blocks onto the contraction dim and the hi/mid/lo
+        splits onto the output dim keeps the exactness argument: each
+        0/1 x bf16 product is an exact f32 addend, only the f32
+        addition order changes — the class the tests already admit)."""
+        rows = [tbuf[slot, s] for s in range(sub)]        # [4, 128] each
+        # row 3 holds the pixel id as an exact f32 (-1 = skip); rows
+        # outside this bin match no one-hot row.
+        pix_rel = jnp.concatenate(
+            [r[3:4, :] for r in rows], axis=1) - binf     # [1, cap]
+        ohb = (iota_bw == pix_rel).astype(jnp.bfloat16)   # [BW, cap]
+
+        def split3(a):
+            ah = a.astype(jnp.bfloat16)
+            r1 = a - ah.astype(jnp.float32)
             am = r1.astype(jnp.bfloat16)
             al = (r1 - am.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.concatenate([ah, am, al], axis=0)  # [9, 128]
 
-            def dot(x):
-                return jax.lax.dot_general(
-                    ohb, x, dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=jnp.float32)   # [BW, 3]
-
-            contrib = contrib + dot(ah) + dot(am) + dot(al)
-        return contrib
+        x9 = jnp.concatenate(
+            [split3(r[0:3, :]) for r in rows], axis=1)    # [9, cap]
+        c9 = jax.lax.dot_general(
+            ohb, x9, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)           # [BW, 9]
+        return c9[:, 0:3] + c9[:, 3:6] + c9[:, 6:9]
 
     @pl.when(n > 0)
     def _():
-        aout_ref[...] += block(slot0, jnp.zeros((bw, 3), jnp.float32))
+        aout_ref[...] += block(slot0)
 
     # long segments (> cap rows in one bin): rare, serial extra blocks
     # through a third scratch slot so the prefetch slots stay clean
@@ -112,7 +121,7 @@ def _flush_kernel(s0_ref, nb_ref, ain_ref, tail_ref, aout_ref, tbuf, sem,
             sem.at[2])
         dma.start()
         dma.wait()
-        aout_ref[...] += block(2, jnp.zeros((bw, 3), jnp.float32))
+        aout_ref[...] += block(2)
         return 0
 
     jax.lax.fori_loop(1, n, body, 0)
@@ -132,7 +141,7 @@ def flush_bin_segments(pix_sorted, npix: int, bw: int, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "cap", "cm"))
-def flush_bins(accum, pix_tail, acc_tail, bw: int = 1024, cap: int = 512,
+def flush_bins(accum, pix_tail, acc_tail, bw: int = 4096, cap: int = 1024,
                cm: bool = False):
     """accum [npix, 3] += per-pixel sums of acc_tail rows, where
     pix_tail [FC] is ascending with a -1 prefix for rows to skip.

@@ -75,33 +75,44 @@ def _stream_fits(cfg: RenderConfig, scene) -> bool:
     return vmem <= SWEEP_VMEM_BUDGET and smem <= SWEEP_SMEM_BUDGET
 
 
+def resident_sweep_fits(c: int, lanes: int, num_objects: int,
+                        cfg: RenderConfig, mode: str = "compact") -> bool:
+    """VMEM/SMEM feasibility of the RESIDENT sweep kernels for a
+    clustered scene of ``c`` clusters x ``lanes`` triangles.
+
+    cl_tris pads 9 component rows to 16 sublanes in VMEM, plus the
+    kernel's own scratch: per-object local rays [O, 9->16, tile], the
+    [8, tile] ray block, and 3 [tile/128, 128] best-hit buffers.  The
+    compact kernel adds in-register one-hot blocks bounded by a few
+    [128, cap] tiles (counted as 8 such blocks).  Also the auto
+    cluster-size predicate (scene/compile.py): scenes that fail it
+    stream clusters from HBM, where bigger clusters amortize the
+    launch-bound per-fired-cluster machinery."""
+    tile = cfg.compact_tile if mode == "compact" else cfg.sweep_tile
+    # Triangle data: 9 component rows padded to 16 sublanes — or the
+    # [16, 4S] bilinear feature matrices on the MXU MT path.
+    tri_rows = (4 * lanes if (mode == "compact" and cfg.mt_mxu)
+                else lanes)
+    vmem = (c * 16 * tri_rows * 4      # triangles / MT features
+            + num_objects * 16 * tile * 4  # local-ray scratch
+            + 8 * tile * 4             # ray block
+            + 6 * tile * 4)            # best t/tri/obj (+outputs)
+    if mode == "compact":
+        vmem += 8 * 128 * cfg.compact_cap * 4
+    # SMEM tables (minor-dim 128 padding): meta [2,C], order [8,C],
+    # aabb [8,C], inv [O,12].
+    smem = (18 * _pad128(c) + num_objects * 128) * 4
+    return vmem <= SWEEP_VMEM_BUDGET and smem <= SWEEP_SMEM_BUDGET
+
+
 def resolve_intersect_mode(cfg: RenderConfig, scene=None) -> str:
     mode = cfg.intersect
     if mode == "auto":
         mode = "compact" if jax.default_backend() == "tpu" else "bvh"
     if mode in ("sweep", "compact") and scene is not None:
-        # cl_tris pads 9 component rows to 16 sublanes in VMEM, plus the
-        # kernel's own scratch: per-object local rays [O, 6, tile], the
-        # [8, tile] ray block, and 3 [tile/128, 128] best-hit buffers.
-        # The compact kernel adds in-register one-hot blocks bounded by
-        # a few [128, cap] tiles (counted as 8 such blocks).
         c, _, lanes = scene.cl_tris.shape
-        o = scene.num_objects
-        tile = cfg.compact_tile if mode == "compact" else cfg.sweep_tile
-        # Triangle data: 9 component rows padded to 16 sublanes — or the
-        # [16, 4S] bilinear feature matrices on the MXU MT path.
-        tri_rows = (4 * lanes if (mode == "compact" and cfg.mt_mxu)
-                    else lanes)
-        vmem = (c * 16 * tri_rows * 4      # triangles / MT features
-                + o * 16 * tile * 4        # local-ray scratch (9->16 pad)
-                + 8 * tile * 4             # ray block
-                + 6 * tile * 4)            # best t/tri/obj (+outputs)
-        if mode == "compact":
-            vmem += 8 * 128 * cfg.compact_cap * 4
-        # SMEM tables (minor-dim 128 padding): meta [2,C], order [8,C],
-        # aabb [8,C], inv [O,12].
-        smem = (18 * _pad128(c) + o * 128) * 4
-        if vmem > SWEEP_VMEM_BUDGET or smem > SWEEP_SMEM_BUDGET:
+        if not resident_sweep_fits(c, lanes, scene.num_objects, cfg,
+                                   mode=mode):
             mode = "stream" if _stream_fits(cfg, scene) else "bvh"
     return mode
 
@@ -133,7 +144,8 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
             t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
             rank_mode=cfg.compact_rank, worklist=cfg.compact_worklist,
-            fill_fast=cfg.fill_fast, cm=cm)
+            fill_fast=cfg.fill_fast,
+            batch=cfg.compact_batch if cfg.compact_worklist else 1, cm=cm)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)

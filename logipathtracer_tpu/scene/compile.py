@@ -211,7 +211,22 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
     view.vtx_pos = vtx_pos
     view.obj_world_inv = obj_world_inv
     view.num_objects = num_objects
-    clustered = build_clusters(view, cluster_size=cfg.cluster_size)
+    if cfg.cluster_size == 0:
+        # Auto: resident-class scenes keep 256 (measured best on
+        # cornell, ROADMAP rounds 2-3); scenes whose cluster data
+        # exceeds the resident VMEM budget will stream chunks from
+        # HBM, where the per-fired-cluster machinery is launch-bound
+        # at ~17 passing lanes — 512-triangle clusters amortize it
+        # (measured +30% bounce intersect on the outside-class scene,
+        # round-3 resumed session).
+        from logipathtracer_tpu.render.megakernel import \
+            resident_sweep_fits
+        clustered = build_clusters(view, cluster_size=256)
+        if not resident_sweep_fits(clustered.cl_tris.shape[0], 256,
+                                   num_objects, cfg):
+            clustered = build_clusters(view, cluster_size=512)
+    else:
+        clustered = build_clusters(view, cluster_size=cfg.cluster_size)
     cl_meta = np.stack([clustered.cl_obj, clustered.cl_tri_base],
                        axis=1).astype(np.int32)
 
@@ -322,7 +337,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         num_objects=num_objects,
         num_triangles=vtx_pos.shape[0] // 3,
         max_stack=max_stack,
-        cluster_size=cfg.cluster_size,
+        cluster_size=clustered.cluster_size,
         leaf_width=int((fused_meta[fused_meta[:, 0] == 1][:, 2]
                         - fused_meta[fused_meta[:, 0] == 1][:, 1]).max()),
         has_textures=bool(gltf.textures),

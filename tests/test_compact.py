@@ -47,6 +47,27 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, mxu, worklist):
     assert (tie | ~diff).all()
 
 
+@pytest.mark.parametrize("batch", [2, 3, 4])
+def test_compact_worklist_batched_bit_identical(cornell_scene, rng, batch):
+    """batch > 1 unrolls the worklist loop (visiting a few unfired /
+    duplicate clusters at the ragged tail) — the hits must be
+    BIT-identical to batch=1: unfired clusters fail the exact slab
+    (zero compaction blocks) and duplicate visits are best-merge
+    idempotent."""
+    s = cornell_scene
+    o, d = _rays(s, 512, rng)
+    t1, o1, r1 = intersect_scene_sweep(s, o, d,
+                                       backend="compact_interpret",
+                                       tile=256, worklist=True)
+    tb, ob, rb = intersect_scene_sweep(s, o, d,
+                                       backend="compact_interpret",
+                                       tile=256, worklist=True,
+                                       batch=batch)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tb))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rb))
+
+
 @pytest.mark.parametrize("worklist", [False, True])
 def test_compact_tmax_shadow(cornell_scene, rng, worklist):
     """t_max queries must produce the same visibility predicate as the
