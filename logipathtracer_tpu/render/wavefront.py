@@ -188,11 +188,21 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
             key = jnp.where(
                 alive, ray_sort_key(scene, origin, direction, cm=cm),
                 jnp.where(retired, (1 << 18) + 1 + pixid, 1 << 18))
-            # bounce (< 2^16), alive, pending share one int row — the
-            # permuted payload is the cost, so pack tight; prev_pdf
-            # rides only when NEE needs it (static).
-            flags = (bounce | (alive.astype(jnp.int32) << 16)
-                     | (pending.astype(jnp.int32) << 17))
+            # bounce, alive, pending share one int row — the permuted
+            # payload is the cost, so pack tight; prev_pdf rides only
+            # when NEE needs it (static).  When pixid also fits (24
+            # bits; frames up to 16M pixels) it joins the same row:
+            # each payload operand of the variadic sort costs a full
+            # ~0.55 ns/row gather pass (ROADMAP round-3 sort split),
+            # so one fewer column is a direct maintenance saving.
+            pack_pix = npix < (1 << 24) and cfg.max_depth < 64
+            if pack_pix:
+                flags = (pixid | (bounce << 24)
+                         | (alive.astype(jnp.int32) << 30)
+                         | (pending.astype(jnp.int32) << 31))
+            else:
+                flags = (bounce | (alive.astype(jnp.int32) << 16)
+                         | (pending.astype(jnp.int32) << 17))
             if cfg.sort_variadic:
                 # ONE variadic lax.sort carries every state column as
                 # a payload operand.  Measured EQUAL to the round-2
@@ -214,7 +224,9 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                        comp(mask, 0), comp(mask, 1), comp(mask, 2),
                        comp(acc, 0), comp(acc, 1), comp(acc, 2),
                        comp(seedf, 0), comp(seedf, 1),
-                       _bitcast_f(flags), _bitcast_f(pixid)]
+                       _bitcast_f(flags)]
+                if not pack_pix:
+                    ops.append(_bitcast_f(pixid))
                 if cfg.nee:
                     ops.append(prev_pdf)
                 out = jax.lax.sort(tuple(ops), num_keys=1)
@@ -223,8 +235,10 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 mask = vstack(out[7:10])
                 acc = vstack(out[10:13])
                 seed = _bitcast_i(vstack(out[13:15])).astype(jnp.uint32)
-                flags, pixid = _bitcast_i(out[15]), _bitcast_i(out[16])
-                prev_pdf = (out[17] if cfg.nee
+                flags = _bitcast_i(out[15])
+                pixid = (flags & 0xFFFFFF if pack_pix
+                         else _bitcast_i(out[16]))
+                prev_pdf = (out[-1] if cfg.nee
                             else jnp.zeros((p,), jnp.float32))
             else:
                 cols = [origin, direction, mask, acc,
@@ -246,9 +260,14 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 pixid = _bitcast_i(packed[:, 15])
                 prev_pdf = (packed[:, 16] if cfg.nee
                             else jnp.zeros((p,), jnp.float32))
-            bounce = flags & 0xFFFF
-            alive = (flags >> 16) & 1 != 0
-            pending = (flags >> 17) & 1 != 0
+            if pack_pix:
+                bounce = (flags >> 24) & 0x3F
+                alive = (flags >> 30) & 1 != 0
+                pending = (flags >> 31) & 1 != 0
+            else:
+                bounce = flags & 0xFFFF
+                alive = (flags >> 16) & 1 != 0
+                pending = (flags >> 17) & 1 != 0
 
             # ---- flush finished paths (a contiguous tail post-sort) --
             # The retired lanes are exactly the LAST n_flush rows
@@ -384,7 +403,7 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
         # ~12-30%/iteration, so the p//8 rung fires most iterations);
         # frame-warmup iterations take the full-pool path.
         regen_caps = sorted({min(p, max(c, REGEN_FLOOR))
-                             for c in (p // 8, p // 4)})
+                             for c in (p // 16, p // 8, p // 4, p // 2)})
 
         def regen_sliced(cap_k):
             def f(args):

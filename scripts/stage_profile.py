@@ -184,19 +184,25 @@ def main():
         bf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         seedf = bf(seed.astype(jnp.int32))
+        # pixid, bounce, alive, pending packed into ONE payload column
+        # (production pack_pix form, wavefront.py — each operand costs
+        # a full gather pass).
+        flags = (pixid | (bounce << 24)
+                 | (alive.astype(jnp.int32) << 30)
+                 | (pending.astype(jnp.int32) << 31))
         out = jax.lax.sort(
             (key, comp(origin, 0), comp(origin, 1), comp(origin, 2),
              comp(direction, 0), comp(direction, 1), comp(direction, 2),
              comp(mask, 0), comp(mask, 1), comp(mask, 2),
              comp(acc, 0), comp(acc, 1), comp(acc, 2),
              comp(seedf, 0), comp(seedf, 1),
-             bf(alive.astype(jnp.int32)), bf(pending.astype(jnp.int32)),
-             prev_pdf, bf(bounce), bf(pixid)), num_keys=1)
+             bf(flags), prev_pdf), num_keys=1)
+        fl = bi(out[15])
         return (vstack(out[1:4]), vstack(out[4:7]),
                 vstack(out[7:10]), vstack(out[10:13]),
                 bi(vstack(out[13:15])).astype(jnp.uint32),
-                bi(out[15]) != 0, bi(out[16]) != 0, out[17],
-                bi(out[18]), bi(out[19]))
+                (fl >> 30) & 1 != 0, (fl >> 31) & 1 != 0, out[16],
+                (fl >> 24) & 0x3F, fl & 0xFFFFFF)
 
     @jax.jit
     def sort_key_only(origin, direction, alive, pending, pixid):
