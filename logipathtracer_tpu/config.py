@@ -156,6 +156,11 @@ class RenderConfig:
                                   # (O(tile) work per fired CHUNK, not
                                   # per fired cluster); 0 = per-cluster
                                   # compaction (stream_cap)
+    stream_block_sub: int = 0     # > 0 (with stream_block): sub-
+                                  # compact each cluster's slab-passing
+                                  # block lanes into this many MT lanes
+                                  # (the second level the block=256
+                                  # round-3 A/B was missing)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

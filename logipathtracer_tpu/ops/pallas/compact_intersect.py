@@ -787,7 +787,7 @@ def _worklist_block_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
                            best_t, best_tri, best_obj, blk, *, chunk: int,
                            num_real: int, eps: float, tile: int,
                            lanes: int, ccap: int, has_tmax: bool,
-                           fast: bool = True):
+                           fast: bool = True, scap: int = 0):
     """Chunk-level lane compaction for the worklist stream sweep.
 
     The per-cluster compact update of _worklist_compact_kernel is
@@ -810,6 +810,16 @@ def _worklist_block_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
     padding lanes fail ``t > eps`` and become BIG).  Cull feedback is
     exact: block lanes see best-t updates immediately (blk row 0), and
     the tile-level best_t is merged before the next chunk's slab test.
+
+    ``scap`` > 0 adds the second compaction level the round-3 A/B
+    said was missing (ROADMAP: block=256 alone LOST 2x because every
+    in-chunk cluster paid a [ccap, S] Möller-Trumbore): each cluster's
+    slab-passing block lanes (~17 mean on the outside bounce pool) are
+    compacted AGAIN into dense ``scap``-lane sub-blocks — the rank /
+    one-hot / gather machinery is O(ccap), 16x narrower than the
+    per-cluster worklist kernel's O(tile), and the MT runs [scap, S].
+    Sub-block padding slots gather zero rays whose degenerate MT fails
+    ``t > eps``; the strict-< merge keeps winners identical.
 
     Reference capability: shaders/path_tracing.comp:130-209 (same
     two-level traversal contract as every other sweep kernel).
@@ -836,11 +846,23 @@ def _worklist_block_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
     best_tri[:] = jnp.full((g_n, 128), -1, jnp.int32)
     best_obj[:] = jnp.full((g_n, 128), -1, jnp.int32)
 
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (ccap, lanes), 1)
+    slot_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (scap or ccap, lanes), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 128), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (g_n, 1), 0)
     iota_ccap_t = jax.lax.broadcasted_iota(
         jnp.int32, (ccap, tile), 0).astype(jnp.float32)
+    if scap:
+        # ccap > 128 needs a [ccap] -> [ccap/128, 128] vector reshape
+        # in the sub-rank, which Mosaic rejects for 1-D lengths that
+        # are not a whole (8, 128) tile ("infer-vector-layout:
+        # unsupported shape cast", measured on v5e at ccap=256).
+        assert ccap == 128, "scap sub-compaction needs ccap == 128"
+        g2 = ccap // 128
+        lane_iota2 = jax.lax.broadcasted_iota(jnp.int32, (g2, 128), 1)
+        sub_iota2 = jax.lax.broadcasted_iota(jnp.int32, (g2, 1), 0)
+        iota_scap_t = jax.lax.broadcasted_iota(
+            jnp.int32, (scap, ccap), 0).astype(jnp.float32)
 
     def get_dma(slot, widx):
         jc = wl_ref[i, widx]
@@ -913,6 +935,67 @@ def _worklist_block_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
 
                     @pl.when(jnp.any(hitc) & (c < num_real))
                     def _():
+                        if scap:
+                            # Second compaction level: only the
+                            # cluster's slab-passing block lanes enter
+                            # its MT, as dense scap-lane sub-blocks.
+                            rank_s, np_s = _rank_roll(
+                                hitc, lane_iota2, sub_iota2, g2, ccap)
+                            nb_s = jax.lax.convert_element_type(
+                                jnp.ceil(np_s * (1.0 / scap)), jnp.int32)
+                            sf = jnp.concatenate([
+                                lox[None], loy[None], loz[None],
+                                ldx[None], ldy[None], ldz[None],
+                                blk[0, :][None]], axis=0)   # [7, ccap]
+                            sf3 = _split3(sf)               # [21, ccap]
+
+                            def sb_body(b2, _):
+                                b2f = jax.lax.convert_element_type(
+                                    b2, jnp.float32) * scap
+                                p_s = (rank_s - b2f == iota_scap_t
+                                       ).astype(jnp.bfloat16)  # [scap,ccap]
+                                a7 = _dot_onehot(sf3, p_s, 7,
+                                                 ((1,), (1,)))  # [7, scap]
+                                t = _mt_cluster(
+                                    a7[0], a7[1], a7[2], a7[3], a7[4],
+                                    a7[5], tris_buf[slot, k], eps,
+                                    fast=fast)              # [scap, S]
+                                ok = t > eps
+                                t = jnp.where(ok, t, BIG)
+                                tmin = jnp.min(t, axis=1)
+                                is_min = ((t == tmin[:, None])
+                                          & (tmin[:, None] < BIG))
+                                sl = jnp.min(
+                                    jnp.where(is_min, slot_ids, lanes),
+                                    axis=1)
+                                du = (tmin < BIG) & (tmin < a7[6])
+                                res = jnp.concatenate([
+                                    jnp.where(du, tmin, 0.0)[None],
+                                    jnp.where(
+                                        du,
+                                        jax.lax.convert_element_type(
+                                            tri_base + sl, jnp.float32),
+                                        0.0)[None],
+                                    jnp.where(
+                                        du,
+                                        jax.lax.convert_element_type(
+                                            obj, jnp.float32), 0.0)[None],
+                                    du.astype(jnp.float32)[None]],
+                                    axis=0)                 # [4, scap]
+                                out = _dot_onehot(_split3(res), p_s, 4,
+                                                  ((1,), (0,)))  # [4,ccap]
+                                du2 = (out[3] > 0.5) & (out[0] < blk[0, :])
+                                blk[0, :] = jnp.where(du2, out[0],
+                                                      blk[0, :])
+                                blk[1, :] = jnp.where(du2, out[1],
+                                                      blk[1, :])
+                                blk[2, :] = jnp.where(du2, out[2],
+                                                      blk[2, :])
+                                blk[3, :] = jnp.where(du2, 1.0, blk[3, :])
+                                return 0
+
+                            jax.lax.fori_loop(0, nb_s, sb_body, 0)
+                            return
                         t = _mt_cluster(lox, loy, loz, ldx, ldy, ldz,
                                         tris_buf[slot, k], eps,
                                         fast=fast)         # [ccap, S]
@@ -1034,13 +1117,14 @@ def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "has_tmax",
-                                    "cap", "rank_mode", "block_cap"))
+                                    "cap", "rank_mode", "block_cap",
+                                    "block_sub"))
 def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                obj_world, rays8, tile: int = 4096,
                                chunk: int = 16, eps: float = 1e-4,
                                has_tmax: bool = False, cap: int = 128,
                                rank_mode: str = "roll",
-                               block_cap: int = 0):
+                               block_cap: int = 0, block_sub: int = 0):
     """Closest hit via the worklist-driven streamed compaction sweep.
 
     Same contract/layouts as cluster_intersect_stream; TPU-only (the
@@ -1057,7 +1141,9 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
     chunk's slab are compacted ONCE into dense ``block_cap``-lane
     blocks and the chunk's clusters sweep only those, instead of
     paying the O(tile) per-fired-cluster update (``cap``/``rank_mode``
-    are then unused).
+    are then unused).  ``block_sub`` > 0 additionally sub-compacts
+    each cluster's slab-passing block lanes into ``block_sub``-lane MT
+    sub-blocks (see _worklist_block_kernel's scap).
     """
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         chunk_world_bounds)
@@ -1065,7 +1151,10 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
     r = rays8.shape[1]
     c, _, lanes = cl_tris.shape
     o = cl_inv.shape[0]
-    assert cap > 0 and tile % 128 == 0 and r % tile == 0
+    # tile must be whole (8, 128) vector tiles: the kernels' 1-D<->2-D
+    # best_t reshapes are Mosaic "unsupported shape cast" errors below
+    # 1024 lanes (measured on v5e at tile=512).
+    assert cap > 0 and tile % 1024 == 0 and r % tile == 0
     sub = tile // 128
     tiles = r // tile
 
@@ -1095,7 +1184,7 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
         kernel = functools.partial(
             _worklist_block_kernel, chunk=chunk, num_real=c, eps=eps,
             tile=tile, lanes=lanes, ccap=block_cap, has_tmax=has_tmax,
-            fast=True)
+            fast=True, scap=block_sub)
     else:
         kernel = functools.partial(
             _worklist_compact_kernel, chunk=chunk, num_real=c, eps=eps,

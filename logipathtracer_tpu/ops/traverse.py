@@ -226,7 +226,7 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
                              tile: int = 4096, chunk: int = 16,
                              t_max=None, cap: int = 128,
                              rank_mode: str = "roll", cm: bool = False,
-                             block_cap: int = 0):
+                             block_cap: int = 0, block_sub: int = 0):
     """Closest hit via the worklist-driven streamed compaction sweep
     (compact_intersect.py::cluster_intersect_worklist) — the TPU
     production path for beyond-VMEM scenes.  Same contract as
@@ -240,7 +240,7 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
         has_tmax=t_max is not None, cap=cap, rank_mode=rank_mode,
-        block_cap=block_cap)
+        block_cap=block_cap, block_sub=block_sub)
     return t[:r], obj[:r], tri[:r]
 
 

@@ -164,7 +164,8 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
                     s, o, d, eps=eps, tile=cfg.stream_tile,
                     chunk=cfg.stream_chunk, t_max=t_max, cap=cap,
                     rank_mode=cfg.compact_rank, cm=cm,
-                    block_cap=cfg.stream_block)
+                    block_cap=cfg.stream_block,
+                    block_sub=cfg.stream_block_sub)
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
             backend=backend, t_max=t_max, cap=cap,

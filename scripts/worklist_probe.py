@@ -69,6 +69,9 @@ def main():
                     help="> 0: A/B the chunk-level lane-compaction "
                          "kernel (block_cap) against the per-cluster "
                          "worklist kernel instead of the grid kernel")
+    ap.add_argument("--block-sub", type=int, default=0,
+                    help="with --block: per-cluster sub-compaction "
+                         "width (block_sub) for the B arm")
     ap.add_argument("--cluster", type=int, default=256,
                     help="scene cluster_size: the stream kernel's "
                          "per-fired-cluster machinery is launch-bound "
@@ -90,7 +93,7 @@ def main():
         # A/B: "grid" slot holds the block-compaction worklist kernel.
         f_gr = jax.jit(lambda oo, dd: intersect_scene_worklist(
             scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,
-            block_cap=args.block))
+            block_cap=args.block, block_sub=args.block_sub))
     else:
         f_gr = jax.jit(lambda oo, dd: intersect_scene_stream(
             scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,

@@ -123,9 +123,9 @@ def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
     o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
                            jnp.float32(cam.yfov), pix, (w, h), seed)
 
-    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                           cap=128)
-    tg, og, rg = intersect_scene_stream(scene, o, d, tile=512, chunk=4,
+    tg, og, rg = intersect_scene_stream(scene, o, d, tile=1024, chunk=4,
                                         cap=128)
     tw, tg = np.asarray(tw), np.asarray(tg)
     neq = int((tw != tg).sum())
@@ -134,9 +134,9 @@ def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
         assert abs(tw[k] - tg[k]) <= 1e-3 * abs(tw[k]) + 1e-6
     # shadow-query variant (t_max): any-hit pruning must agree too
     tmax = jnp.full((h * w,), 0.35)
-    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                          cap=128, t_max=tmax)
-    tgs, _, _ = intersect_scene_stream(scene, o, d, tile=512, chunk=4,
+    tgs, _, _ = intersect_scene_stream(scene, o, d, tile=1024, chunk=4,
                                        cap=128, t_max=tmax)
     tws, tgs = np.asarray(tws), np.asarray(tgs)
     neq = int((tws != tgs).sum())
@@ -194,9 +194,9 @@ def test_worklist_block_matches_on_hardware(cornell_scene):
     o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
                            jnp.float32(cam.yfov), pix, (w, h), seed)
 
-    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                           cap=128)
-    tb, ob, rb = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tb, ob, rb = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                           block_cap=64)
     tw, tb = np.asarray(tw), np.asarray(tb)
     neq = int((tw != tb).sum())
@@ -208,13 +208,25 @@ def test_worklist_block_matches_on_hardware(cornell_scene):
     assert same.mean() > 1.0 - 1e-3
     # shadow-query variant (t_max)
     tmax = jnp.full((h * w,), 0.35)
-    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                          cap=128, t_max=tmax)
-    tbs, _, _ = intersect_scene_worklist(scene, o, d, tile=512, chunk=4,
+    tbs, _, _ = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
                                          block_cap=64, t_max=tmax)
     tws, tbs = np.asarray(tws), np.asarray(tbs)
     neq = int((tws != tbs).sum())
     assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
+    # per-cluster sub-compaction (block_sub): small sub-cap forces the
+    # nb_s > 1 overflow path on dense primary tiles
+    ts, os_, rs = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
+                                           block_cap=128, block_sub=32)
+    ts = np.asarray(ts)
+    neq = int((tw != ts).sum())
+    assert neq <= max(4, tw.size // 10_000), f"{neq}/{tw.size} sub misses"
+    for k in np.flatnonzero(tw != ts):
+        assert abs(tw[k] - ts[k]) <= 1e-3 * abs(tw[k]) + 1e-6
+    same = (np.asarray(ow) == np.asarray(os_)) & \
+        (np.asarray(rw) == np.asarray(rs))
+    assert same.mean() > 1.0 - 1e-3
 
 
 def test_mxu_mt_matches_vpu_on_hardware(cornell_scene):
