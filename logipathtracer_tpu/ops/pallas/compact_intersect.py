@@ -306,6 +306,75 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
     jax.lax.fori_loop(0, nb, block_body, 0)
 
 
+def _compact_cluster_update_roll_pair(
+        hitA, featsA, tribA, tri_baseA, objA,
+        hitB, featsB, tribB, tri_baseB, objB,
+        best_t, best_tri, best_obj, rconsts, slot_ids, *,
+        g_n: int, cap: int, lanes: int, eps: float, fast: bool = True):
+    """TWO independent compaction chains in ONE straight-line block
+    body (the round-4 latency-wall lever, ROADMAP).  Each dependent
+    slab->rank->one-hot->gather->MT->scatter sequence costs ~2-4 us of
+    dataflow latency regardless of width, and Mosaic does not overlap
+    ADJACENT regions — the failed ``batch`` unroll kept one inner
+    fori_loop per cluster, so its chains stayed in separate regions.
+    Here clusters A and B share one fori_loop over max(nbA, nbB)
+    blocks and every block body emits both chains' ops back to back,
+    giving the VLIW scheduler two independent dataflows to interleave.
+
+    Bit-identical to serial _compact_cluster_update_roll visits: B's
+    slab mask was built against the pre-pair best_t (a superset of the
+    lanes a post-A-merge slab admits), but extra lanes must still beat
+    the live best_t at the strict-< merge, and the A-then-B merge
+    order preserves the serial tie-break.  Blocks past a chain's own
+    nb build all-zero one-hots, gather degenerate zero rays whose MT
+    fails ``t > eps``, and scatter nothing.
+    """
+    lane_iota, sub_iota, iota_cap_t, _ = rconsts
+    tile = g_n * 128
+    rankA, nA = _rank_roll(hitA, lane_iota, sub_iota, g_n, tile)
+    rankB, nB = _rank_roll(hitB, lane_iota, sub_iota, g_n, tile)
+    nb = jax.lax.convert_element_type(
+        jnp.ceil(jnp.maximum(nA, nB) * (1.0 / cap)), jnp.int32)
+    fA3 = _split3(featsA)
+    fB3 = _split3(featsB)
+
+    def chain(rank_flat, feats3, trib, basef):
+        p_t = (rank_flat - basef == iota_cap_t).astype(jnp.bfloat16)
+        acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))      # [6, cap]
+        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                        acc[5], trib, eps, fast=fast)        # [cap, S]
+        ok = t > eps
+        t = jnp.where(ok, t, BIG)
+        tmin = jnp.min(t, axis=1)
+        is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+        slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
+        hitf = tmin < BIG
+        res = jnp.concatenate([
+            tmin[None, :],
+            jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
+            hitf.astype(jnp.float32)[None, :]], axis=0)      # [3, cap]
+        return _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+
+    def block_body(b, _):
+        basef = jax.lax.convert_element_type(b, jnp.float32) * cap
+        outA = chain(rankA, fA3, tribA, basef)
+        outB = chain(rankB, fB3, tribB, basef)
+        for g in range(g_n):
+            sl = slice(g * 128, (g + 1) * 128)
+            for out_all, tri_base, obj in ((outA, tri_baseA, objA),
+                                           (outB, tri_baseB, objB)):
+                du = ((out_all[2, sl] > 0.5)
+                      & (out_all[0, sl] < best_t[g, :]))
+                best_t[g, :] = jnp.where(du, out_all[0, sl], best_t[g, :])
+                best_tri[g, :] = jnp.where(
+                    du, tri_base + out_all[1, sl].astype(jnp.int32),
+                    best_tri[g, :])
+                best_obj[g, :] = jnp.where(du, obj, best_obj[g, :])
+        return 0
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
+
+
 def _compact_cluster_update(hit, feats6, trib, tri_base, obj, best_t,
                             best_tri, best_obj, consts, slot_ids, *,
                             g_n: int, cap: int, lanes: int, eps: float,
@@ -395,7 +464,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                   cap: int, has_tmax: bool, mxu: bool = False,
                   fast: bool = True, rank_mode: str = "matmul",
                   ablate: str = "", fill_fast: bool = False,
-                  batch: int = 1, max_ci: int = 0):
+                  batch: int = 1, max_ci: int = 0, pair: bool = False):
     """Shared body of the resident compaction kernels: sweep the
     clusters yielded by ``get_cluster(ci)`` for ci < ``trip`` (octant
     front-to-back order in _compact_kernel; a per-tile fired-cluster
@@ -537,7 +606,42 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                     centroid=centroid, fast=fast)
         return 0
 
-    if batch > 1:
+    def cl_body_pair(k, _):
+        # Two clusters per step, their update chains interleaved in one
+        # straight-line block body (_compact_cluster_update_roll_pair).
+        # The odd tail clamps B onto A's cluster — duplicate visits are
+        # best-merge idempotent (strict-< acceptance).
+        bt_flat = best_t[:].reshape(tile)
+
+        def load(idx):
+            c = get_cluster(jnp.minimum(idx, trip - 1))
+            obj = meta_ref[0, c]
+            tri_base = meta_ref[1, c]
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+            hit = _slab_inv(lray[obj, 0, :], lray[obj, 1, :],
+                            lray[obj, 2, :], lray[obj, 6, :],
+                            lray[obj, 7, :], lray[obj, 8, :],
+                            amin, amax, bt_flat)
+            return c, obj, tri_base, hit
+
+        cA, objA, tbA, hitA = load(2 * k)
+        cB, objB, tbB, hitB = load(2 * k + 1)
+
+        @pl.when(jnp.any(hitA) | jnp.any(hitB))
+        def _():
+            _compact_cluster_update_roll_pair(
+                hitA, lray[objA, 0:6, :], tris_ref[cA], tbA, objA,
+                hitB, lray[objB, 0:6, :], tris_ref[cB], tbB, objB,
+                best_t, best_tri, best_obj, consts, slot_ids,
+                g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast)
+        return 0
+
+    if pair:
+        assert use_roll and not mxu and ablate == "" and batch == 1, \
+            "pair mode is roll-rank only, no ablations/mxu/batch"
+        jax.lax.fori_loop(0, (trip + 1) // 2, cl_body_pair, 0)
+    elif batch > 1:
         assert ablate == "", "batched worklist loop has no ablations"
         assert max_ci >= batch
         jax.lax.fori_loop(0, (trip + batch - 1) // batch,
@@ -1243,7 +1347,7 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                              "interpret", "has_tmax",
                                              "mxu", "rank_mode", "ablate",
                                              "worklist", "fill_fast",
-                                             "batch"))
+                                             "batch", "pair"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
@@ -1251,7 +1355,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rank_mode: str = "matmul",
                               ablate: str = "", worklist: bool = False,
                               obj_world=None, fill_fast: bool = False,
-                              batch: int = 1):
+                              batch: int = 1, pair: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -1295,11 +1399,14 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
 
     assert batch == 1 or (worklist and ablate == ""), \
         "batch > 1 is a worklist-mode knob (no ablations)"
+    assert not pair or (rank_mode == "roll" and not mxu and ablate == ""
+                        and batch == 1), \
+        "pair mode needs rank_mode='roll', no mxu/ablations/batch"
     grid = (r // tile,)
     common = dict(num_objects=o, eps=eps, tile=tile,
                   lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
                   fast=not interpret, rank_mode=rank_mode, ablate=ablate,
-                  fill_fast=fill_fast)
+                  fill_fast=fill_fast, pair=pair)
     out_shape = [
         jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
         jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),

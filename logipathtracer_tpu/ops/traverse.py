@@ -164,7 +164,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           t_max=None, cap: int = 128, mxu: bool = False,
                           rank_mode: str = "roll", worklist: bool = False,
                           fill_fast: bool = False, cm: bool = False,
-                          batch: int = 1):
+                          batch: int = 1, pair: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -190,7 +190,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            fill_fast=fill_fast, batch=batch)
+            fill_fast=fill_fast, batch=batch, pair=pair)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

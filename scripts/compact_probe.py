@@ -163,15 +163,17 @@ def cmd_bench(args):
               flush=True)
         return res
 
-    def make_comp(worklist, ablate, cap=None, mxu=None, batch=1):
+    def make_comp(worklist, ablate, cap=None, mxu=None, batch=1,
+                  pair=False):
         mxu = args.mxu if mxu is None else mxu
         return lambda r8: cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
             scene.cl_mt if mxu else scene.cl_tris, r8,
             tile=args.tile, cap=cap or args.cap, mxu=mxu,
-            rank_mode=args.rank, ablate=ablate, worklist=worklist,
+            rank_mode="roll" if pair else args.rank, ablate=ablate,
+            worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            batch=batch)
+            batch=batch, pair=pair)
 
     base = lambda r8: cluster_intersect_pallas(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -195,10 +197,14 @@ def cmd_bench(args):
             if abl == "mxu":  # e.g. wl:mxu = MXU MT (not an ablation)
                 mxu, abl = True, ""
             batch = 1
+            pair = False
             head = body.split(":", 1)[0]
             if head.startswith("wlb"):  # e.g. wlb4 = worklist, batch 4
                 batch = int(head[3:])
-            specs.append((spec, make_comp(wl, abl, cap, mxu, batch)))
+            elif head == "wlp":  # worklist, paired-interleave chains
+                pair = True
+            specs.append((spec,
+                          make_comp(wl, abl, cap, mxu, batch, pair)))
         if args.pool_npz:
             # Real production pool states (stage_profile --dump):
             # post-regen origins/directions incl. parked lanes — the

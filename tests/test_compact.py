@@ -68,6 +68,28 @@ def test_compact_worklist_batched_bit_identical(cornell_scene, rng, batch):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(rb))
 
 
+def test_compact_worklist_pair_bit_identical(cornell_scene, rng):
+    """pair mode interleaves TWO cluster update chains per block body
+    (the per-sequence latency-wall lever).  Hits must be BIT-identical
+    to the serial worklist: B's slab gate uses the pre-pair best_t (a
+    superset of admitted lanes), but the strict-< merge still picks
+    the same winners, A-then-B merge order preserves the serial
+    tie-break, and the odd tail's duplicate visit is idempotent."""
+    s = cornell_scene
+    o, d = _rays(s, 512, rng)
+    t1, o1, r1 = intersect_scene_sweep(s, o, d,
+                                       backend="compact_interpret",
+                                       tile=256, worklist=True,
+                                       rank_mode="roll")
+    tp, op_, rp = intersect_scene_sweep(s, o, d,
+                                        backend="compact_interpret",
+                                        tile=256, worklist=True,
+                                        rank_mode="roll", pair=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tp))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(op_))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rp))
+
+
 @pytest.mark.parametrize("worklist", [False, True])
 def test_compact_tmax_shadow(cornell_scene, rng, worklist):
     """t_max queries must produce the same visibility predicate as the
