@@ -120,6 +120,13 @@ class RenderConfig:
                                   # ~2.4 us/step Mosaic machinery and
                                   # overlap the independent chains;
                                   # hits identical, tested)
+    compact_pair: bool = False    # worklist sweep: interleave TWO
+                                  # cluster update chains per block
+                                  # body (one shared fori_loop) so the
+                                  # VLIW scheduler overlaps their
+                                  # dependent dataflow latency; needs
+                                  # compact_rank="roll"; bit-identical
+                                  # hits (tests/test_compact.py)
     mt_mxu: bool = False          # compact sweep: run each block's
                                   # Moller-Trumbore as ONE MXU matmul
                                   # on the bilinear feature form

@@ -145,7 +145,9 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
             t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
             rank_mode=cfg.compact_rank, worklist=cfg.compact_worklist,
             fill_fast=cfg.fill_fast,
-            batch=cfg.compact_batch if cfg.compact_worklist else 1, cm=cm)
+            batch=cfg.compact_batch if cfg.compact_worklist else 1,
+            pair=cfg.compact_pair and cfg.compact_worklist
+            and cfg.compact_rank == "roll", cm=cm)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)
