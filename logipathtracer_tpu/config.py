@@ -126,6 +126,15 @@ class RenderConfig:
                                   # VLIW scheduler overlaps their
                                   # dependent dataflow latency; needs
                                   # compact_rank="roll"; bit-identical
+                                  # hits (tests/test_compact.py);
+                                  # measured LOSS ~15-20% (ROADMAP
+                                  # queue #12) — kept as documentation
+    compact_pair_tiles: bool = False  # worklist sweep: TWO ray tiles
+                                  # per grid step, independent chains
+                                  # (own worklists, own best buffers)
+                                  # interleaved per cluster visit;
+                                  # needs compact_rank="roll" and an
+                                  # even tile count; bit-identical
                                   # hits (tests/test_compact.py)
     mt_mxu: bool = False          # compact sweep: run each block's
                                   # Moller-Trumbore as ONE MXU matmul

@@ -306,6 +306,76 @@ def _compact_cluster_update_roll(hit, feats6, trib, tri_base, obj, best_t,
     jax.lax.fori_loop(0, nb, block_body, 0)
 
 
+def _block_chain(rank_flat, feats3, trib, basef, iota_cap_t, slot_ids,
+                 lanes, eps, fast):
+    """One compaction block of one chain: one-hot select the block's
+    ranked lanes, MT them against the cluster, min-reduce per lane,
+    scatter (t, slot, hit) back through the transposed one-hot.
+    Returns [3, tile] (rows: t, slot, hitflag) ready for the caller's
+    best merge."""
+    p_t = (rank_flat - basef == iota_cap_t).astype(jnp.bfloat16)
+    acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))      # [6, cap]
+    t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
+                    acc[5], trib, eps, fast=fast)        # [cap, S]
+    ok = t > eps
+    t = jnp.where(ok, t, BIG)
+    tmin = jnp.min(t, axis=1)
+    is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
+    slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
+    hitf = tmin < BIG
+    res = jnp.concatenate([
+        tmin[None, :],
+        jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
+        hitf.astype(jnp.float32)[None, :]], axis=0)      # [3, cap]
+    return _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+
+
+def _compact_cluster_update_roll_tile2(
+        hitA, featsA, tribA, tri_baseA, objA,
+        hitB, featsB, tribB, tri_baseB, objB,
+        best_t, best_tri, best_obj, rconsts, slot_ids, *,
+        g_n: int, cap: int, lanes: int, eps: float, fast: bool = True):
+    """TWO independent ray TILES' update chains in one straight-line
+    block body (pair_tiles mode).  Unlike the pair-mode loss (ROADMAP:
+    stale-gate superset + shared merge), the chains here are FULLY
+    independent: each tile's slab gate reads its own live best_t, each
+    merge targets its own best rows (A rows [0:g_n], B rows
+    [g_n:2*g_n]), and their clusters come from different worklists —
+    the only shared cost is nb = max over the two tiles' block counts.
+    Bit-identical per tile to the serial worklist sweep."""
+    lane_iota, sub_iota, iota_cap_t, _ = rconsts
+    tile = g_n * 128
+    rankA, nA = _rank_roll(hitA, lane_iota, sub_iota, g_n, tile)
+    rankB, nB = _rank_roll(hitB, lane_iota, sub_iota, g_n, tile)
+    nb = jax.lax.convert_element_type(
+        jnp.ceil(jnp.maximum(nA, nB) * (1.0 / cap)), jnp.int32)
+    fA3 = _split3(featsA)
+    fB3 = _split3(featsB)
+
+    def block_body(b, _):
+        basef = jax.lax.convert_element_type(b, jnp.float32) * cap
+        outA = _block_chain(rankA, fA3, tribA, basef, iota_cap_t,
+                            slot_ids, lanes, eps, fast)
+        outB = _block_chain(rankB, fB3, tribB, basef, iota_cap_t,
+                            slot_ids, lanes, eps, fast)
+        for g in range(g_n):
+            sl = slice(g * 128, (g + 1) * 128)
+            for out_all, tri_base, obj, row in (
+                    (outA, tri_baseA, objA, g),
+                    (outB, tri_baseB, objB, g_n + g)):
+                du = ((out_all[2, sl] > 0.5)
+                      & (out_all[0, sl] < best_t[row, :]))
+                best_t[row, :] = jnp.where(du, out_all[0, sl],
+                                           best_t[row, :])
+                best_tri[row, :] = jnp.where(
+                    du, tri_base + out_all[1, sl].astype(jnp.int32),
+                    best_tri[row, :])
+                best_obj[row, :] = jnp.where(du, obj, best_obj[row, :])
+        return 0
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
+
+
 def _compact_cluster_update_roll_pair(
         hitA, featsA, tribA, tri_baseA, objA,
         hitB, featsB, tribB, tri_baseB, objB,
@@ -339,21 +409,8 @@ def _compact_cluster_update_roll_pair(
     fB3 = _split3(featsB)
 
     def chain(rank_flat, feats3, trib, basef):
-        p_t = (rank_flat - basef == iota_cap_t).astype(jnp.bfloat16)
-        acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))      # [6, cap]
-        t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
-                        acc[5], trib, eps, fast=fast)        # [cap, S]
-        ok = t > eps
-        t = jnp.where(ok, t, BIG)
-        tmin = jnp.min(t, axis=1)
-        is_min = (t == tmin[:, None]) & (tmin[:, None] < BIG)
-        slot = jnp.min(jnp.where(is_min, slot_ids, lanes), axis=1)
-        hitf = tmin < BIG
-        res = jnp.concatenate([
-            tmin[None, :],
-            jnp.where(hitf, slot.astype(jnp.float32), 0.0)[None, :],
-            hitf.astype(jnp.float32)[None, :]], axis=0)      # [3, cap]
-        return _dot_onehot(_split3(res), p_t, 3, ((1,), (0,)))
+        return _block_chain(rank_flat, feats3, trib, basef, iota_cap_t,
+                            slot_ids, lanes, eps, fast)
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
@@ -680,6 +737,83 @@ def _compact_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, rays_ref,
                   meta_ref, inv_ref, rays_ref, aabb_ref, tris_ref,
                   t_out, tri_out, obj_out, lray, best_t, best_tri,
                   best_obj, max_ci=wl_ref.shape[1], **kw)
+
+
+def _compact_wl2_kernel(wl_ref, wn_ref, meta_ref, inv_ref, rays_ref,
+                        aabb_ref, tris_ref, t_out, tri_out, obj_out, lray,
+                        best_t, best_tri, best_obj, *, num_objects: int,
+                        eps: float, tile: int, lanes: int, cap: int,
+                        has_tmax: bool, fast: bool = True,
+                        fill_fast: bool = False):
+    """pair_tiles worklist kernel: TWO ray tiles per grid step, their
+    per-cluster update chains interleaved in one straight-line block
+    body (_compact_cluster_update_roll_tile2).  Each tile walks its
+    OWN fired-cluster worklist against its OWN live best buffer —
+    fully independent dataflows for the VLIW scheduler to overlap,
+    with none of pair mode's stale-gate/shared-merge waste; the only
+    shared costs are the loop trip (max of the two fired counts, with
+    the shorter side's hits masked off past its count) and each
+    cluster visit's block count (max of the two chains').  The local-
+    ray fill runs ONCE over both tiles (same per-ray cost, half the
+    fill dispatches)."""
+    i = pl.program_id(0)
+    g_n = tile // 128
+    _fill_local_rays(lray, inv_ref, rays_ref[0, :], rays_ref[1, :],
+                     rays_ref[2, :], rays_ref[3, :], rays_ref[4, :],
+                     rays_ref[5, :], num_objects, fast=fill_fast and fast)
+
+    best_t[:] = (jnp.minimum(rays_ref[6, :].reshape(2 * g_n, 128), BIG)
+                 if has_tmax else jnp.full((2 * g_n, 128), BIG))
+    best_tri[:] = jnp.full((2 * g_n, 128), -1, jnp.int32)
+    best_obj[:] = jnp.full((2 * g_n, 128), -1, jnp.int32)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+    consts = _roll_prefix_consts(g_n, cap, tile)
+
+    wnA = wn_ref[2 * i]
+    wnB = wn_ref[2 * i + 1]
+    trip = jnp.maximum(wnA, wnB)
+
+    def body(ci, _):
+        def side(tix, wn_i, r0):
+            # Past this tile's own fired count the cluster index is
+            # clamped (never out of the worklist row) and the hit
+            # vector masked to zero: the chain contributes no blocks.
+            c = wl_ref[tix, jnp.maximum(jnp.minimum(ci, wn_i - 1), 0)]
+            obj = meta_ref[0, c]
+            tri_base = meta_ref[1, c]
+            amin = (aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c])
+            amax = (aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c])
+            sl = slice(r0 * tile, (r0 + 1) * tile)
+            bt_flat = best_t[r0 * g_n:(r0 + 1) * g_n, :].reshape(tile)
+            hit = _slab_inv(lray[obj, 0, sl], lray[obj, 1, sl],
+                            lray[obj, 2, sl], lray[obj, 6, sl],
+                            lray[obj, 7, sl], lray[obj, 8, sl],
+                            amin, amax, bt_flat) & (ci < wn_i)
+            return c, obj, tri_base, hit
+
+        cA, objA, tbA, hitA = side(2 * i, wnA, 0)
+        cB, objB, tbB, hitB = side(2 * i + 1, wnB, 1)
+
+        @pl.when(jnp.any(hitA) | jnp.any(hitB))
+        def _():
+            _compact_cluster_update_roll_tile2(
+                hitA, lray[objA, 0:6, 0:tile], tris_ref[cA], tbA, objA,
+                hitB, lray[objB, 0:6, tile:2 * tile], tris_ref[cB],
+                tbB, objB, best_t, best_tri, best_obj, consts,
+                slot_ids, g_n=g_n, cap=cap, lanes=lanes, eps=eps,
+                fast=fast)
+        return 0
+
+    jax.lax.fori_loop(0, trip, body, 0)
+
+    t_final = jnp.where(best_tri[:] >= 0, best_t[:], INF)
+    t_out[0] = t_final[0:g_n, :]
+    t_out[1] = t_final[g_n:, :]
+    tri_out[0] = best_tri[0:g_n, :]
+    tri_out[1] = best_tri[g_n:, :]
+    obj_out[0] = best_obj[0:g_n, :]
+    obj_out[1] = best_obj[g_n:, :]
 
 
 def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
@@ -1347,7 +1481,8 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                              "interpret", "has_tmax",
                                              "mxu", "rank_mode", "ablate",
                                              "worklist", "fill_fast",
-                                             "batch", "pair"))
+                                             "batch", "pair",
+                                             "pair_tiles"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
@@ -1355,7 +1490,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rank_mode: str = "matmul",
                               ablate: str = "", worklist: bool = False,
                               obj_world=None, fill_fast: bool = False,
-                              batch: int = 1, pair: bool = False):
+                              batch: int = 1, pair: bool = False,
+                              pair_tiles: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -1402,6 +1538,10 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     assert not pair or (rank_mode == "roll" and not mxu and ablate == ""
                         and batch == 1), \
         "pair mode needs rank_mode='roll', no mxu/ablations/batch"
+    assert not pair_tiles or (worklist and rank_mode == "roll"
+                              and not mxu and ablate == "" and batch == 1
+                              and not pair and (r // tile) % 2 == 0), \
+        "pair_tiles needs worklist + rank_mode='roll' + an even tile count"
     grid = (r // tile,)
     common = dict(num_objects=o, eps=eps, tile=tile,
                   lanes=lanes, cap=cap, has_tmax=has_tmax, mxu=mxu,
@@ -1418,6 +1558,44 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
         pltpu.VMEM((sub, 128), jnp.int32),           # best_tri
         pltpu.VMEM((sub, 128), jnp.int32),           # best_obj
     ]
+
+    if worklist and pair_tiles:
+        wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
+                                       has_tmax=has_tmax)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # (wl, wn)
+            grid=(r // (2 * tile),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # inv
+                pl.BlockSpec((8, 2 * tile), lambda i, w, n: (0, i),
+                             memory_space=pltpu.VMEM),   # rays
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # aabb [C, 8]
+                pl.BlockSpec(cl_tris.shape, lambda i, w, n: (0, 0, 0),
+                             memory_space=pltpu.VMEM),   # tris
+            ],
+            out_specs=[
+                pl.BlockSpec((2, sub, 128), lambda i, w, n: (i, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((o, 9, 2 * tile), jnp.float32),
+                pltpu.VMEM((2 * sub, 128), jnp.float32),
+                pltpu.VMEM((2 * sub, 128), jnp.int32),
+                pltpu.VMEM((2 * sub, 128), jnp.int32),
+            ],
+        )
+        outs = pl.pallas_call(
+            functools.partial(_compact_wl2_kernel, num_objects=o,
+                              eps=eps, tile=tile, lanes=lanes, cap=cap,
+                              has_tmax=has_tmax, fast=not interpret,
+                              fill_fast=fill_fast),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=_vmem_params(interpret),
+            interpret=interpret,
+        )(wl, wn, cl_meta, cl_inv, rays8, cl_aabb, cl_tris)
+        return (outs[0].reshape(r), outs[1].reshape(r),
+                outs[2].reshape(r))
 
     if worklist:
         wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,

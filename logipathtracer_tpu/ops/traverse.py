@@ -164,7 +164,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           t_max=None, cap: int = 128, mxu: bool = False,
                           rank_mode: str = "roll", worklist: bool = False,
                           fill_fast: bool = False, cm: bool = False,
-                          batch: int = 1, pair: bool = False):
+                          batch: int = 1, pair: bool = False,
+                          pair_tiles: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -173,7 +174,9 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         cluster_intersect_jnp, cluster_intersect_pallas)
 
-    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
+    # pair_tiles consumes tiles two at a time: pad to an even count.
+    rays8, r = _pack_rays8(origin, direction,
+                           2 * tile if pair_tiles else tile, t_max, cm)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     if backend == "jnp":
         t, tri, obj = cluster_intersect_jnp(
@@ -190,7 +193,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            fill_fast=fill_fast, batch=batch, pair=pair)
+            fill_fast=fill_fast, batch=batch, pair=pair,
+            pair_tiles=pair_tiles)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

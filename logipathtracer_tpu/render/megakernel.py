@@ -147,6 +147,8 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
             fill_fast=cfg.fill_fast,
             batch=cfg.compact_batch if cfg.compact_worklist else 1,
             pair=cfg.compact_pair and cfg.compact_worklist
+            and cfg.compact_rank == "roll",
+            pair_tiles=cfg.compact_pair_tiles and cfg.compact_worklist
             and cfg.compact_rank == "roll", cm=cm)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(

@@ -164,16 +164,16 @@ def cmd_bench(args):
         return res
 
     def make_comp(worklist, ablate, cap=None, mxu=None, batch=1,
-                  pair=False):
+                  pair=False, pair_tiles=False):
         mxu = args.mxu if mxu is None else mxu
         return lambda r8: cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
             scene.cl_mt if mxu else scene.cl_tris, r8,
             tile=args.tile, cap=cap or args.cap, mxu=mxu,
-            rank_mode="roll" if pair else args.rank, ablate=ablate,
-            worklist=worklist,
+            rank_mode="roll" if pair or pair_tiles else args.rank,
+            ablate=ablate, worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            batch=batch, pair=pair)
+            batch=batch, pair=pair, pair_tiles=pair_tiles)
 
     base = lambda r8: cluster_intersect_pallas(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -198,13 +198,17 @@ def cmd_bench(args):
                 mxu, abl = True, ""
             batch = 1
             pair = False
+            pair_tiles = False
             head = body.split(":", 1)[0]
             if head.startswith("wlb"):  # e.g. wlb4 = worklist, batch 4
                 batch = int(head[3:])
             elif head == "wlp":  # worklist, paired-interleave chains
                 pair = True
+            elif head == "wlt":  # worklist, two ray tiles per step
+                pair_tiles = True
             specs.append((spec,
-                          make_comp(wl, abl, cap, mxu, batch, pair)))
+                          make_comp(wl, abl, cap, mxu, batch, pair,
+                                    pair_tiles)))
         if args.pool_npz:
             # Real production pool states (stage_profile --dump):
             # post-regen origins/directions incl. parked lanes — the

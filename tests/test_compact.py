@@ -90,6 +90,33 @@ def test_compact_worklist_pair_bit_identical(cornell_scene, rng):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(rp))
 
 
+@pytest.mark.parametrize("tmax", [False, True])
+def test_compact_worklist_pair_tiles_bit_identical(cornell_scene, rng,
+                                                   tmax):
+    """pair_tiles mode processes TWO ray tiles per grid step, each
+    walking its own fired-cluster worklist against its own best
+    buffer.  Hits must be BIT-identical to the serial worklist: the
+    chains are fully independent (live per-tile slab gates, separate
+    merges); only the loop trip and per-visit block counts are maxed,
+    and the masked/clamped tail contributes zero blocks."""
+    s = cornell_scene
+    o, d = _rays(s, 512, rng)
+    dist = (jnp.asarray(rng.uniform(0.1, 2.0, 512).astype(np.float32))
+            if tmax else None)
+    t1, o1, r1 = intersect_scene_sweep(s, o, d,
+                                       backend="compact_interpret",
+                                       tile=256, worklist=True,
+                                       rank_mode="roll", t_max=dist)
+    tp, op_, rp = intersect_scene_sweep(s, o, d,
+                                        backend="compact_interpret",
+                                        tile=256, worklist=True,
+                                        rank_mode="roll", t_max=dist,
+                                        pair_tiles=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tp))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(op_))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rp))
+
+
 @pytest.mark.parametrize("worklist", [False, True])
 def test_compact_tmax_shadow(cornell_scene, rng, worklist):
     """t_max queries must produce the same visibility predicate as the
