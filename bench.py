@@ -170,6 +170,18 @@ def main(argv=None) -> int:
     #  * textured + NEE box (BASELINE config 5 stand-in) on the fused
     #    shade kernel.
     outside_mrays = nee_tex_mrays = None
+    # Idle-host guard (VERDICT r3): the dispatch-heavy extras are
+    # host-load-sensitive — the outside-class number HALVES (3.05 ->
+    # 1.39 Mrays/s, identical tree) under a concurrent pytest suite.
+    # Record the 1-minute loadavg and flag contaminated runs so a low
+    # extras number is never mistaken for a regression.
+    loadavg_1m = round(os.getloadavg()[0], 2)
+    host_contended = loadavg_1m > 4.0
+    if host_contended:
+        print(f"WARNING: loadavg {loadavg_1m} > 4 — dispatch-heavy "
+              "extras (outside_class, nee_textured) are unreliable on "
+              "a contended host; re-run idle for official numbers.",
+              file=sys.stderr)
     if not args.quick:
         from logipathtracer_tpu.scene.procedural import (make_box_scene,
                                                          make_outside_scene)
@@ -201,6 +213,13 @@ def main(argv=None) -> int:
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "extras": {
             "ray_query_mrays_per_sec": round(rq_mrays, 1),
+            # Distance-to-ceiling: the VPU Möller-Trumbore chain issues
+            # ~1 vreg-op/cycle — ~43 Mrays/s intersect-only at cornell's
+            # ~460 pairs/ray (ROADMAP round-2/3 measurements).
+            "vpu_issue_ceiling_mrays": 43.0,
+            "ray_query_ceiling_frac": round(rq_mrays / 43.0, 3),
+            "loadavg_1m": loadavg_1m,
+            "host_contended": host_contended,
             "outside_class_mrays_per_sec": outside_mrays,
             "nee_textured_mrays_per_sec": nee_tex_mrays,
             "device": str(jax.devices()[0]),

@@ -99,10 +99,6 @@ class RenderConfig:
     compact_cap: int = 128        # compacted MT block width (rays per
                                   # Moller-Trumbore pass of one fired
                                   # cluster)
-    compact_rank: str = "roll"    # compaction rank form: roll (log-step
-                                  # roll prefix sums + one transposed
-                                  # one-hot; round-3 winner) | matmul
-                                  # (0/1-matmul ranks, round-2 form)
     fill_fast: bool = False       # compact sweep: approx-reciprocal +
                                   # Newton local-ray fill instead of 3
                                   # exact divides per object (TPU-only;
@@ -114,33 +110,6 @@ class RenderConfig:
                                   # lists) instead of all clusters with
                                   # an in-kernel skip; parked/retired
                                   # tiles cost zero cluster steps
-    compact_batch: int = 1        # worklist sweep: fired clusters per
-                                  # in-kernel loop step (>1 unrolls the
-                                  # dynamic-trip loop to amortize the
-                                  # ~2.4 us/step Mosaic machinery and
-                                  # overlap the independent chains;
-                                  # hits identical, tested)
-    compact_pair: bool = False    # worklist sweep: interleave TWO
-                                  # cluster update chains per block
-                                  # body (one shared fori_loop) so the
-                                  # VLIW scheduler overlaps their
-                                  # dependent dataflow latency; needs
-                                  # compact_rank="roll"; bit-identical
-                                  # hits (tests/test_compact.py);
-                                  # measured LOSS ~15-20% (ROADMAP
-                                  # queue #12) — kept as documentation
-    compact_pair_tiles: bool = False  # worklist sweep: TWO ray tiles
-                                  # per grid step, independent chains
-                                  # (own worklists, own best buffers)
-                                  # interleaved per cluster visit;
-                                  # needs compact_rank="roll" and an
-                                  # even tile count; bit-identical
-                                  # hits (tests/test_compact.py)
-    mt_mxu: bool = False          # compact sweep: run each block's
-                                  # Moller-Trumbore as ONE MXU matmul
-                                  # on the bilinear feature form
-                                  # (scene.cl_mt) instead of the
-                                  # elementwise VPU chain
     stream_tile: int = 4096       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data;
@@ -164,19 +133,6 @@ class RenderConfig:
                                   # of the (tiles x chunks) grid
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
-    stream_block: int = 0         # > 0: the worklist stream kernel
-                                  # compacts each fired chunk's slab-
-                                  # passing lanes ONCE into dense
-                                  # stream_block-lane blocks and sweeps
-                                  # the chunk's clusters on those
-                                  # (O(tile) work per fired CHUNK, not
-                                  # per fired cluster); 0 = per-cluster
-                                  # compaction (stream_cap)
-    stream_block_sub: int = 0     # > 0 (with stream_block): sub-
-                                  # compact each cluster's slab-passing
-                                  # block lanes into this many MT lanes
-                                  # (the second level the block=256
-                                  # round-3 A/B was missing)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

@@ -467,12 +467,11 @@ def chunk_world_bounds(cl_meta, cl_aabb, obj_world, c: int, cp: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "interpret",
-                                    "has_tmax", "cap", "rank_mode"))
+                                    "has_tmax", "cap"))
 def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
                              rays8, tile: int = 2048, chunk: int = 16,
                              eps: float = 1e-4, interpret: bool = False,
-                             has_tmax: bool = False, cap: int = 0,
-                             rank_mode: str = "roll"):
+                             has_tmax: bool = False, cap: int = 0):
     """Closest hit via the HBM-streamed sweep (big scenes).
 
     Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
@@ -539,8 +538,7 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
         kernel = functools.partial(
             _stream_compact_kernel, num_objects=o, chunk=chunk,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
-            lanes=lanes, cap=cap, has_tmax=has_tmax, fast=not interpret,
-            rank_mode=rank_mode)
+            lanes=lanes, cap=cap, has_tmax=has_tmax, fast=not interpret)
     else:
         kernel = functools.partial(
             _stream_kernel, num_objects=o, chunk=chunk,

@@ -161,11 +161,9 @@ def _pack_rays8(origin, direction, tile: int, t_max, cm: bool):
 
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
-                          t_max=None, cap: int = 128, mxu: bool = False,
-                          rank_mode: str = "roll", worklist: bool = False,
-                          fill_fast: bool = False, cm: bool = False,
-                          batch: int = 1, pair: bool = False,
-                          pair_tiles: bool = False):
+                          t_max=None, cap: int = 128,
+                          worklist: bool = False,
+                          fill_fast: bool = False, cm: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -174,9 +172,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
     from logipathtracer_tpu.ops.pallas.cluster_intersect import (
         cluster_intersect_jnp, cluster_intersect_pallas)
 
-    # pair_tiles consumes tiles two at a time: pad to an even count.
-    rays8, r = _pack_rays8(origin, direction,
-                           2 * tile if pair_tiles else tile, t_max, cm)
+    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
     inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
     if backend == "jnp":
         t, tri, obj = cluster_intersect_jnp(
@@ -187,14 +183,13 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             cluster_intersect_compact
         t, tri, obj = cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
-            scene.cl_mt if mxu else scene.cl_tris, rays8, tile=tile,
+            scene.cl_tris, rays8, tile=tile,
             cap=cap, eps=eps,
             interpret=(backend == "compact_interpret"),
-            has_tmax=t_max is not None, mxu=mxu, rank_mode=rank_mode,
+            has_tmax=t_max is not None,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            fill_fast=fill_fast, batch=batch, pair=pair,
-            pair_tiles=pair_tiles)
+            fill_fast=fill_fast)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -207,8 +202,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
                            backend: str = "pallas", t_max=None,
-                           cap: int = 0, rank_mode: str = "roll",
-                           cm: bool = False):
+                           cap: int = 0, cm: bool = False):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -222,15 +216,14 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
         interpret=(backend == "interpret"), has_tmax=t_max is not None,
-        cap=cap, rank_mode=rank_mode)
+        cap=cap)
     return t[:r], obj[:r], tri[:r]
 
 
 def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
                              tile: int = 4096, chunk: int = 16,
                              t_max=None, cap: int = 128,
-                             rank_mode: str = "roll", cm: bool = False,
-                             block_cap: int = 0, block_sub: int = 0):
+                             cm: bool = False):
     """Closest hit via the worklist-driven streamed compaction sweep
     (compact_intersect.py::cluster_intersect_worklist) — the TPU
     production path for beyond-VMEM scenes.  Same contract as
@@ -243,8 +236,7 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
     t, tri, obj = cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
-        has_tmax=t_max is not None, cap=cap, rank_mode=rank_mode,
-        block_cap=block_cap, block_sub=block_sub)
+        has_tmax=t_max is not None, cap=cap)
     return t[:r], obj[:r], tri[:r]
 
 

@@ -89,11 +89,8 @@ def resident_sweep_fits(c: int, lanes: int, num_objects: int,
     stream clusters from HBM, where bigger clusters amortize the
     launch-bound per-fired-cluster machinery."""
     tile = cfg.compact_tile if mode == "compact" else cfg.sweep_tile
-    # Triangle data: 9 component rows padded to 16 sublanes — or the
-    # [16, 4S] bilinear feature matrices on the MXU MT path.
-    tri_rows = (4 * lanes if (mode == "compact" and cfg.mt_mxu)
-                else lanes)
-    vmem = (c * 16 * tri_rows * 4      # triangles / MT features
+    # Triangle data: 9 component rows padded to 16 sublanes.
+    vmem = (c * 16 * lanes * 4         # triangles
             + num_objects * 16 * tile * 4  # local-ray scratch
             + 8 * tile * 4             # ray block
             + 6 * tile * 4)            # best t/tri/obj (+outputs)
@@ -142,14 +139,9 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
     if mode in ("compact", "compact_interpret"):
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
-            t_max=t_max, cap=cfg.compact_cap, mxu=cfg.mt_mxu,
-            rank_mode=cfg.compact_rank, worklist=cfg.compact_worklist,
-            fill_fast=cfg.fill_fast,
-            batch=cfg.compact_batch if cfg.compact_worklist else 1,
-            pair=cfg.compact_pair and cfg.compact_worklist
-            and cfg.compact_rank == "roll",
-            pair_tiles=cfg.compact_pair_tiles and cfg.compact_worklist
-            and cfg.compact_rank == "roll", cm=cm)
+            t_max=t_max, cap=cfg.compact_cap,
+            worklist=cfg.compact_worklist,
+            fill_fast=cfg.fill_fast, cm=cm)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
             s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)
@@ -167,13 +159,10 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
                 intersect_scene_worklist(
                     s, o, d, eps=eps, tile=cfg.stream_tile,
                     chunk=cfg.stream_chunk, t_max=t_max, cap=cap,
-                    rank_mode=cfg.compact_rank, cm=cm,
-                    block_cap=cfg.stream_block,
-                    block_sub=cfg.stream_block_sub)
+                    cm=cm)
         return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
             s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
-            backend=backend, t_max=t_max, cap=cap,
-            rank_mode=cfg.compact_rank, cm=cm)
+            backend=backend, t_max=t_max, cap=cap, cm=cm)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 

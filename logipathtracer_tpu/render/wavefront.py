@@ -241,13 +241,17 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 prev_pdf = (out[-1] if cfg.nee
                             else jnp.zeros((p,), jnp.float32))
             else:
+                # pack_pix: pixid lives in flags bits 0:24 — no
+                # separate payload column (same saving as the variadic
+                # path; ADVICE r3 flagged the redundant copy).
                 cols = [origin, direction, mask, acc,
                         _bitcast_f(seed.astype(jnp.int32)),
-                        _bitcast_f(flags)[:, None],
-                        _bitcast_f(pixid)[:, None]]
+                        _bitcast_f(flags)[:, None]]
+                if not pack_pix:
+                    cols.append(_bitcast_f(pixid)[:, None])
                 if cfg.nee:
                     cols.append(prev_pdf[:, None])
-                packed = jnp.concatenate(cols, axis=1)  # [P, 16 or 17]
+                packed = jnp.concatenate(cols, axis=1)  # [P, 15..17]
                 _, perm = jax.lax.sort_key_val(
                     key, jnp.arange(p, dtype=jnp.int32))
                 packed = jnp.take(packed, perm, axis=0)  # one wide gather
@@ -257,8 +261,9 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                 acc = packed[:, 9:12]
                 seed = _bitcast_i(packed[:, 12:14]).astype(jnp.uint32)
                 flags = _bitcast_i(packed[:, 14])
-                pixid = _bitcast_i(packed[:, 15])
-                prev_pdf = (packed[:, 16] if cfg.nee
+                pixid = (flags & 0xFFFFFF if pack_pix
+                         else _bitcast_i(packed[:, 15]))
+                prev_pdf = (packed[:, -1] if cfg.nee
                             else jnp.zeros((p,), jnp.float32))
             if pack_pix:
                 bounce = (flags >> 24) & 0x3F

@@ -165,47 +165,3 @@ def cluster_stats(cs: ClusteredScene) -> dict:
         "min_fill": float(fill.min()),
         "vmem_mb": cs.vmem_bytes() / 2 ** 20,
     }
-
-
-def build_mt_features(cl_tris: np.ndarray, cl_aabb: np.ndarray) -> np.ndarray:
-    """Per-cluster bilinear Möller-Trumbore feature matrices [C, 16, 4S].
-
-    MT is bilinear in (ray features, triangle features): with
-    m = o x d and ray feature rows F = [d(3), m(3), o(3), 1, pad(6)],
-      det   = d.(e2 x e1)
-      u_num = m.e2 - d.(e2 x v0)
-      v_num = -m.e1 - d.(v0 x e1)
-      t_num = (o - v0).(e1 x e2)
-    so F[16, R]^T G[16, 4S] yields [det | u_num | v_num | t_num] for a
-    whole ray-block x cluster in ONE MXU matmul (u = u_num/det etc.),
-    replacing ~80 VPU ops/pair with a contraction whose cost is flat in
-    K (scripts/mxu_kscale_probe.py).  v0 and o are LOCALIZED to the
-    cluster AABB center: the expanded bilinear form loses the
-    (o - v0) pre-subtraction of the elementwise MT, so cancellation
-    must be bounded by the cluster extent, not the scene extent.
-    Padded triangle slots produce all-zero columns -> det = 0 -> NaN
-    u/v/t, rejected by the same NaN-compare invariant the elementwise
-    kernel relies on.
-    """
-    c, _, s = cl_tris.shape
-    v0 = cl_tris[:, 0:3].transpose(0, 2, 1)   # [C, S, 3]
-    e1 = cl_tris[:, 3:6].transpose(0, 2, 1)
-    e2 = cl_tris[:, 6:9].transpose(0, 2, 1)
-    center = 0.5 * (cl_aabb[:, 0:3] + cl_aabb[:, 3:6])[:, None, :]
-    # Padded slots are all-zero triangles; keep their v0l at 0 so every
-    # feature column stays exactly zero.
-    real = (np.abs(cl_tris).max(axis=1) > 0)[:, :, None]   # [C, S, 1]
-    v0l = np.where(real, v0 - center, 0.0)
-    e2xe1 = np.cross(e2, e1)
-    e2xv0 = np.cross(e2, v0l)
-    v0xe1 = np.cross(v0l, e1)
-    e1xe2 = np.cross(e1, e2)
-    g = np.zeros((c, 16, 4 * s), np.float32)
-    g[:, 0:3, 0 * s:1 * s] = e2xe1.transpose(0, 2, 1)
-    g[:, 0:3, 1 * s:2 * s] = -e2xv0.transpose(0, 2, 1)
-    g[:, 3:6, 1 * s:2 * s] = e2.transpose(0, 2, 1)
-    g[:, 0:3, 2 * s:3 * s] = -v0xe1.transpose(0, 2, 1)
-    g[:, 3:6, 2 * s:3 * s] = -e1.transpose(0, 2, 1)
-    g[:, 6:9, 3 * s:4 * s] = e1xe2.transpose(0, 2, 1)
-    g[:, 9, 3 * s:4 * s] = -np.sum(v0l * e1xe2, axis=-1)
-    return g

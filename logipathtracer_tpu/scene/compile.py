@@ -196,8 +196,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     # Clustered sweep arrays (built from a lightweight stand-in SoA view
     # so clusters.py can run before the SceneSoA exists).
-    from logipathtracer_tpu.scene.clusters import (build_clusters,
-                                                   build_mt_features)
+    from logipathtracer_tpu.scene.clusters import build_clusters
 
     class _View:
         pass
@@ -221,9 +220,15 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         # round-3 resumed session).
         from logipathtracer_tpu.render.megakernel import \
             resident_sweep_fits
+        # Residency is predicted for the intersect mode the render will
+        # actually resolve (ADVICE r3: a 'sweep' config sizes its tiles
+        # with sweep_tile, so predicting with compact_tile could pick a
+        # cluster size the sweep then can't hold resident).
+        mode = ("sweep" if cfg.intersect in ("sweep", "sweep_interpret")
+                else "compact")
         clustered = build_clusters(view, cluster_size=256)
         if not resident_sweep_fits(clustered.cl_tris.shape[0], 256,
-                                   num_objects, cfg):
+                                   num_objects, cfg, mode=mode):
             clustered = build_clusters(view, cluster_size=512)
     else:
         clustered = build_clusters(view, cluster_size=cfg.cluster_size)
@@ -317,14 +322,6 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
-        # Bilinear MT feature matrices are 4x the triangle bytes; only
-        # materialize them when the (measured-slower, kept-as-option)
-        # MXU MT path could use them — small resident scenes or an
-        # explicit cfg.mt_mxu (big scenes stream, which has no MXU MT).
-        cl_mt=(build_mt_features(clustered.cl_tris, clustered.cl_aabb)
-               if (cfg.mt_mxu or vtx_pos.shape[0] // 3 <= 300_000)
-               else np.zeros((1, 16, 4 * clustered.cl_tris.shape[2]),
-                             np.float32)),
         cl_order=cl_order,
         tri_shade=tri_shade,
         obj_shade=obj_shade,

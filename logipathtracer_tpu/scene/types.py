@@ -29,14 +29,32 @@ import jax
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class CameraState:
     """Host-side camera (reference: PathTracerUBO camera fill,
-    src/RendererPT.cpp:41-47)."""
+    src/RendererPT.cpp:41-47).
+
+    ``eq``/``hash`` are value-based over the matrix BYTES: cameras ride
+    in SceneSoA's pytree aux_data (static metadata), and jit cache
+    lookups compare aux tuples across entries — the dataclass-default
+    ``__eq__`` would compare the numpy matrix elementwise and raise the
+    ambiguous-truth-value error the moment two different compiled
+    scenes coexist in one process (round-4 goldens generator)."""
 
     world_matrix: np.ndarray  # [4, 4] float32, column-vector convention
     yfov: float
     name: str = ""
+
+    def _key(self):
+        return (np.asarray(self.world_matrix, np.float32).tobytes(),
+                float(self.yfov), self.name)
+
+    def __eq__(self, other):
+        return (isinstance(other, CameraState)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
 
 
 @dataclasses.dataclass
@@ -89,9 +107,6 @@ class SceneSoA:
     cl_order: Any         # [8, C] i32: front-to-back cluster order per
                           # direction octant (early-out pruning)
     cl_tris: Any          # [C, 9, S] f32: v0.xyz, e1.xyz, e2.xyz lanes
-    cl_mt: Any            # [C, 16, 4S] f32 bilinear MT feature matrices
-                          # (centroid-localized; clusters.py::
-                          # build_mt_features) for the MXU MT path
 
     # Packed shade tables: ONE wide-row gather per hit instead of many
     # narrow ones (TPU gathers cost per-row, almost independent of row
@@ -143,7 +158,7 @@ class SceneSoA:
         "vtx_pos", "vtx_nrm", "vtx_uv",
         "fused_min", "fused_max", "fused_meta",
         "tex_atlas", "tex_table", "tex_mip_base", "tex_mip_count",
-        "cl_meta", "cl_aabb", "cl_tris", "cl_mt", "cl_order",
+        "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
         "light_tris", "light_cdf",
     )

@@ -163,17 +163,14 @@ def cmd_bench(args):
               flush=True)
         return res
 
-    def make_comp(worklist, ablate, cap=None, mxu=None, batch=1,
-                  pair=False, pair_tiles=False):
-        mxu = args.mxu if mxu is None else mxu
+    def make_comp(worklist, ablate, cap=None, variant=""):
         return lambda r8: cluster_intersect_compact(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
-            scene.cl_mt if mxu else scene.cl_tris, r8,
-            tile=args.tile, cap=cap or args.cap, mxu=mxu,
-            rank_mode="roll" if pair or pair_tiles else args.rank,
+            scene.cl_tris, r8,
+            tile=args.tile, cap=cap or args.cap,
             ablate=ablate, worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            batch=batch, pair=pair, pair_tiles=pair_tiles)
+            variant=variant)
 
     base = lambda r8: cluster_intersect_pallas(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -191,24 +188,13 @@ def cmd_bench(args):
             if "@" in body:  # e.g. wl@64 = worklist with cap 64
                 body, cap_s = body.split("@", 1)
                 cap = int(cap_s)
+            variant = ""
+            if "+" in body:  # e.g. wl+hot32, wl+presplit (CORRECT
+                body, variant = body.split("+", 1)   # round-4 levers)
+                variant = variant.replace("+", ",")
             wl = body.startswith("wl")
             abl = body.split(":", 1)[1] if ":" in body else ""
-            mxu = None
-            if abl == "mxu":  # e.g. wl:mxu = MXU MT (not an ablation)
-                mxu, abl = True, ""
-            batch = 1
-            pair = False
-            pair_tiles = False
-            head = body.split(":", 1)[0]
-            if head.startswith("wlb"):  # e.g. wlb4 = worklist, batch 4
-                batch = int(head[3:])
-            elif head == "wlp":  # worklist, paired-interleave chains
-                pair = True
-            elif head == "wlt":  # worklist, two ray tiles per step
-                pair_tiles = True
-            specs.append((spec,
-                          make_comp(wl, abl, cap, mxu, batch, pair,
-                                    pair_tiles)))
+            specs.append((spec, make_comp(wl, abl, cap, variant)))
         if args.pool_npz:
             # Real production pool states (stage_profile --dump):
             # post-regen origins/directions incl. parked lanes — the
@@ -265,17 +251,11 @@ if __name__ == "__main__":
     ap.add_argument("--skip-sweep", action="store_true",
                     help="time the compact kernel only (the sub-tile "
                          "sweep's cluster=128 compile is pathological)")
-    ap.add_argument("--rank", default="roll",
-                    choices=["matmul", "roll"],
-                    help="rank form (default matches production "
-                         "config.compact_rank)")
     ap.add_argument("--ablate", default="",
                     choices=["", "norank", "ksmall", "nomt", "noupd",
                              "noskip", "nofill", "fillfast", "floor0",
                              "nohot", "fA", "fB", "fC", "fD"],
                     help="probe-only kernel ablation (WRONG results)")
-    ap.add_argument("--mxu", action="store_true",
-                    help="compact kernel: bilinear MXU Moller-Trumbore")
     ap.add_argument("--worklist", action="store_true",
                     help="compact kernel: per-tile fired-cluster lists "
                          "from the world-AABB prepass")

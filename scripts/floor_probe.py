@@ -89,7 +89,7 @@ def main():
     full = jax.jit(lambda r8: cluster_intersect_compact(
         scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
         scene.cl_tris, r8, tile=args.tile, cap=args.cap,
-        rank_mode="roll", worklist=True, obj_world=scene.obj_world))
+        worklist=True, obj_world=scene.obj_world))
 
     for rep in range(2):
         print(f"rep {rep}", flush=True)

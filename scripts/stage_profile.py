@@ -30,7 +30,14 @@ def main():
     ap.add_argument("--shade", default="auto")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--scene", default="cornell",
-                    choices=["cornell", "outside", "soup"])
+                    choices=["cornell", "outside", "soup", "box"])
+    ap.add_argument("--nee", action="store_true",
+                    help="profile with next-event estimation on "
+                         "(BASELINE config-5 decomposition): the shade "
+                         "stage then includes the shadow-ray intersect")
+    ap.add_argument("--textured", action="store_true",
+                    help="with --scene box: textured materials (the "
+                         "nee_textured bench extra's scene)")
     ap.add_argument("--pool", type=int, default=1 << 20)
     ap.add_argument("--dump", default=None,
                     help="npz path: save post-sort pool rays per iteration")
@@ -43,7 +50,7 @@ def main():
                     help="compact sweep: approx-reciprocal local-ray "
                          "fill (probe; wrong by <=1 ulp on slab culls)")
     ap.add_argument("--mxu", action="store_true",
-                    help="compact sweep: MXU Moller-Trumbore (cfg.mt_mxu)")
+                    help="(removed round 4: MXU MT pruned; ignored)")
     ap.add_argument("--no-sort-variadic", action="store_true",
                     help="sort via sort_key_val + wide row gather "
                          "(the round-2 production form) instead of "
@@ -67,9 +74,9 @@ def main():
     from logipathtracer_tpu.scene.compile import compile_scene
     from logipathtracer_tpu.scene.gltf import load_gltf
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
-                       shade=args.shade,
+                       shade=args.shade, nee=args.nee,
                        compact_worklist=not args.no_worklist,
-                       fill_fast=args.fill_fast, mt_mxu=args.mxu,
+                       fill_fast=args.fill_fast,
                        sort_variadic=not args.no_sort_variadic,
                        pool_cm=args.cm)
     cm = args.cm
@@ -85,6 +92,11 @@ def main():
     elif args.scene == "soup":
         from logipathtracer_tpu.scene.procedural import make_triangle_soup
         scene = compile_scene(make_triangle_soup(), cfg)
+    elif args.scene == "box":
+        from logipathtracer_tpu.scene.procedural import make_box_scene
+        scene = compile_scene(
+            make_box_scene(spheres=6, subdiv=3, textured=args.textured),
+            cfg)
     else:
         scene = compile_scene(load_gltf(
             "/root/reference/resources/cornell_box.gltf"), cfg)

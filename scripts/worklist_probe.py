@@ -65,13 +65,6 @@ def main():
     ap.add_argument("--wl-only", action="store_true",
                     help="skip the 2-D-grid kernel (tile sweeps: only "
                          "the worklist kernel is production)")
-    ap.add_argument("--block", type=int, default=0,
-                    help="> 0: A/B the chunk-level lane-compaction "
-                         "kernel (block_cap) against the per-cluster "
-                         "worklist kernel instead of the grid kernel")
-    ap.add_argument("--block-sub", type=int, default=0,
-                    help="with --block: per-cluster sub-compaction "
-                         "width (block_sub) for the B arm")
     ap.add_argument("--cluster", type=int, default=256,
                     help="scene cluster_size: the stream kernel's "
                          "per-fired-cluster machinery is launch-bound "
@@ -89,15 +82,9 @@ def main():
     f_wl = jax.jit(lambda oo, dd: intersect_scene_worklist(
         scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,
         cap=args.cap))
-    if args.block > 0:
-        # A/B: "grid" slot holds the block-compaction worklist kernel.
-        f_gr = jax.jit(lambda oo, dd: intersect_scene_worklist(
-            scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,
-            block_cap=args.block, block_sub=args.block_sub))
-    else:
-        f_gr = jax.jit(lambda oo, dd: intersect_scene_stream(
-            scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,
-            cap=args.cap))
+    f_gr = jax.jit(lambda oo, dd: intersect_scene_stream(
+        scene, oo, dd, eps=cfg.eps, tile=args.tile, chunk=args.chunk,
+        cap=args.cap))
 
     t0 = time.perf_counter()
     out_wl = jax.tree_util.tree_map(lambda x: x, f_wl(o_b, d_b))

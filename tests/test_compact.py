@@ -22,23 +22,19 @@ def _rays(scene, n, rng):
     return o, jnp.asarray(d)
 
 
-@pytest.mark.parametrize("cap,mxu,worklist", [(128, False, False),
-                                              (256, False, False),
-                                              (128, True, False),
-                                              (128, False, True),
-                                              (128, True, True)])
-def test_compact_matches_bvh(cornell_scene, rng, cap, mxu, worklist):
+@pytest.mark.parametrize("cap,worklist", [(128, False),
+                                          (256, False),
+                                          (128, True)])
+def test_compact_matches_bvh(cornell_scene, rng, cap, worklist):
     s = cornell_scene
     o, d = _rays(s, 512, rng)
     tb, ob, rb = jax.jit(intersect_scene)(s, o, d)
     tc, oc, rc = intersect_scene_sweep(s, o, d, backend="compact_interpret",
-                                       tile=256, cap=cap, mxu=mxu,
+                                       tile=256, cap=cap,
                                        worklist=worklist)
-    # The bilinear MXU form reassociates the MT arithmetic (centroid-
-    # localized): slightly looser tolerance than the elementwise form.
-    rtol = 1e-5 if mxu else 2e-6
+    rtol = 2e-6
     np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=rtol,
-                               atol=1e-5 if mxu else 1e-6)
+                               atol=1e-6)
     # tri/obj may differ only where t is a near-tie (coplanar geometry).
     tie = np.abs(np.asarray(tb) - np.asarray(tc)) \
         <= rtol * np.abs(np.asarray(tb)) + 1e-6
@@ -47,74 +43,33 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, mxu, worklist):
     assert (tie | ~diff).all()
 
 
-@pytest.mark.parametrize("batch", [2, 3, 4])
-def test_compact_worklist_batched_bit_identical(cornell_scene, rng, batch):
-    """batch > 1 unrolls the worklist loop (visiting a few unfired /
-    duplicate clusters at the ragged tail) — the hits must be
-    BIT-identical to batch=1: unfired clusters fail the exact slab
-    (zero compaction blocks) and duplicate visits are best-merge
-    idempotent."""
+@pytest.mark.parametrize("variant", ["hot16", "presplit",
+                                     "hot16,presplit"])
+def test_compact_variants_bit_identical(cornell_scene, rng, variant):
+    """Round-4 CORRECT-results kernel variants must be BIT-identical to
+    the baseline: 'hot16' (one-hot via 16-bit bit-equality compare —
+    exact because in-window ranks are integers <= 2^8, see the kernel
+    docstring) and 'presplit' (per-object hoisted _split3 — the same
+    values read from scratch instead of recomputed per cluster)."""
+    from logipathtracer_tpu.ops.pallas.compact_intersect import \
+        cluster_intersect_compact
     s = cornell_scene
-    o, d = _rays(s, 512, rng)
-    t1, o1, r1 = intersect_scene_sweep(s, o, d,
-                                       backend="compact_interpret",
-                                       tile=256, worklist=True)
-    tb, ob, rb = intersect_scene_sweep(s, o, d,
-                                       backend="compact_interpret",
-                                       tile=256, worklist=True,
-                                       batch=batch)
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tb))
-    np.testing.assert_array_equal(np.asarray(o1), np.asarray(ob))
-    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rb))
+    o, d = _rays(s, 1024, rng)
+    rays8 = jnp.zeros((8, 1024), jnp.float32)
+    rays8 = rays8.at[0:3].set(o.T).at[3:6].set(jnp.asarray(d).T)
+    inv_rows = s.obj_world_inv[:, :3, :4].reshape(s.num_objects, 12)
 
+    def run(v, worklist=False):
+        return cluster_intersect_compact(
+            s.cl_meta, inv_rows, s.cl_order, s.cl_aabb, s.cl_tris,
+            rays8, tile=1024, cap=128, interpret=True, worklist=worklist,
+            obj_world=s.obj_world if worklist else None, variant=v)
 
-def test_compact_worklist_pair_bit_identical(cornell_scene, rng):
-    """pair mode interleaves TWO cluster update chains per block body
-    (the per-sequence latency-wall lever).  Hits must be BIT-identical
-    to the serial worklist: B's slab gate uses the pre-pair best_t (a
-    superset of admitted lanes), but the strict-< merge still picks
-    the same winners, A-then-B merge order preserves the serial
-    tie-break, and the odd tail's duplicate visit is idempotent."""
-    s = cornell_scene
-    o, d = _rays(s, 512, rng)
-    t1, o1, r1 = intersect_scene_sweep(s, o, d,
-                                       backend="compact_interpret",
-                                       tile=256, worklist=True,
-                                       rank_mode="roll")
-    tp, op_, rp = intersect_scene_sweep(s, o, d,
-                                        backend="compact_interpret",
-                                        tile=256, worklist=True,
-                                        rank_mode="roll", pair=True)
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tp))
-    np.testing.assert_array_equal(np.asarray(o1), np.asarray(op_))
-    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rp))
-
-
-@pytest.mark.parametrize("tmax", [False, True])
-def test_compact_worklist_pair_tiles_bit_identical(cornell_scene, rng,
-                                                   tmax):
-    """pair_tiles mode processes TWO ray tiles per grid step, each
-    walking its own fired-cluster worklist against its own best
-    buffer.  Hits must be BIT-identical to the serial worklist: the
-    chains are fully independent (live per-tile slab gates, separate
-    merges); only the loop trip and per-visit block counts are maxed,
-    and the masked/clamped tail contributes zero blocks."""
-    s = cornell_scene
-    o, d = _rays(s, 512, rng)
-    dist = (jnp.asarray(rng.uniform(0.1, 2.0, 512).astype(np.float32))
-            if tmax else None)
-    t1, o1, r1 = intersect_scene_sweep(s, o, d,
-                                       backend="compact_interpret",
-                                       tile=256, worklist=True,
-                                       rank_mode="roll", t_max=dist)
-    tp, op_, rp = intersect_scene_sweep(s, o, d,
-                                        backend="compact_interpret",
-                                        tile=256, worklist=True,
-                                        rank_mode="roll", t_max=dist,
-                                        pair_tiles=True)
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tp))
-    np.testing.assert_array_equal(np.asarray(o1), np.asarray(op_))
-    np.testing.assert_array_equal(np.asarray(r1), np.asarray(rp))
+    for wl in (False, True):
+        base = run("", wl)
+        got = run(variant, wl)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("worklist", [False, True])
@@ -164,45 +119,3 @@ def test_render_with_compact_matches_bvh(cornell_scene):
     # where the stochastic path diverges (same bound as test_sweep).
     close = np.isclose(a, b, rtol=1e-4, atol=1e-6).all(axis=-1)
     assert close.mean() > 0.99, f"{(~close).sum()} divergent pixels"
-
-
-def test_mt_feature_algebra(cornell_scene, rng):
-    """build_mt_features: F @ G must reproduce the elementwise MT
-    quantities (det, u, v, t) on random rays — pure numpy, no kernel."""
-    s = cornell_scene
-    cl_tris = np.asarray(s.cl_tris)
-    cl_aabb = np.asarray(s.cl_aabb)
-    g = np.asarray(s.cl_mt)
-    c, _, lanes = cl_tris.shape
-    ci = int(rng.integers(0, c))
-    n = 32
-    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    center = 0.5 * (cl_aabb[ci, 0:3] + cl_aabb[ci, 3:6])
-    ol = o - center
-    m = np.cross(ol, d)
-    f = np.concatenate([d, m, ol, np.ones((n, 1), np.float32),
-                        np.zeros((n, 6), np.float32)], axis=1)  # [n, 16]
-    prod = f.astype(np.float64) @ g[ci].astype(np.float64)      # [n, 4S]
-    det_b = prod[:, 0:lanes]
-    u_b = prod[:, lanes:2 * lanes] / np.where(det_b == 0, 1, det_b)
-    t_b = prod[:, 3 * lanes:4 * lanes] / np.where(det_b == 0, 1, det_b)
-
-    v0 = cl_tris[ci, 0:3].T
-    e1 = cl_tris[ci, 3:6].T
-    e2 = cl_tris[ci, 6:9].T
-    real = np.abs(cl_tris[ci]).max(axis=0) > 0
-    p = np.cross(d[:, None, :], e2[None])                       # [n, S, 3]
-    det_e = np.sum(e1[None] * p, axis=-1)
-    tvec = o[:, None, :] - v0[None]
-    u_e = np.sum(tvec * p, axis=-1) / np.where(det_e == 0, 1, det_e)
-    q = np.cross(tvec, e1[None])
-    t_e = np.sum(e2[None] * q, axis=-1) / np.where(det_e == 0, 1, det_e)
-
-    np.testing.assert_allclose(det_b[:, real], det_e[:, real],
-                               rtol=1e-4, atol=1e-5)
-    ok = np.abs(det_e[:, real]) > 1e-4   # well-conditioned pairs
-    np.testing.assert_allclose(u_b[:, real][ok], u_e[:, real][ok],
-                               rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(t_b[:, real][ok], t_e[:, real][ok],
-                               rtol=1e-3, atol=1e-3)

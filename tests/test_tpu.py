@@ -171,92 +171,3 @@ def test_flush_bins_matches_scatter_on_hardware(rng):
     touched = np.zeros(npix, bool)
     touched[pix] = True
     assert (got[~touched] == accum0[~touched]).all()
-
-
-def test_worklist_block_matches_on_hardware(cornell_scene):
-    """Chunk-level lane compaction (_worklist_block_kernel) vs the
-    per-cluster worklist kernel on real cornell primaries: identical
-    hits up to the fast-reciprocal near-tie class (the block form MTs
-    lanes that fail a cluster slab, whose hits provably cannot win —
-    see the kernel docstring).  A small block_cap forces the multi-
-    block (nb > 1) overflow path."""
-    from logipathtracer_tpu.ops.camera import generate_ray
-    from logipathtracer_tpu.ops.rng import seed_from_pixel
-    from logipathtracer_tpu.ops.traverse import intersect_scene_worklist
-
-    scene = cornell_scene
-    cam = scene.cameras[0]
-    h = w = 128
-    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
-    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
-    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
-                           jnp.float32(cam.yfov), pix, (w, h), seed)
-
-    tw, ow, rw = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
-                                          cap=128)
-    tb, ob, rb = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
-                                          block_cap=64)
-    tw, tb = np.asarray(tw), np.asarray(tb)
-    neq = int((tw != tb).sum())
-    assert neq <= max(4, tw.size // 10_000), f"{neq}/{tw.size} mismatches"
-    for k in np.flatnonzero(tw != tb):
-        assert abs(tw[k] - tb[k]) <= 1e-3 * abs(tw[k]) + 1e-6
-    same = (np.asarray(ow) == np.asarray(ob)) & \
-        (np.asarray(rw) == np.asarray(rb))
-    assert same.mean() > 1.0 - 1e-3
-    # shadow-query variant (t_max)
-    tmax = jnp.full((h * w,), 0.35)
-    tws, _, _ = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
-                                         cap=128, t_max=tmax)
-    tbs, _, _ = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
-                                         block_cap=64, t_max=tmax)
-    tws, tbs = np.asarray(tws), np.asarray(tbs)
-    neq = int((tws != tbs).sum())
-    assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
-    # per-cluster sub-compaction (block_sub): small sub-cap forces the
-    # nb_s > 1 overflow path on dense primary tiles
-    ts, os_, rs = intersect_scene_worklist(scene, o, d, tile=1024, chunk=4,
-                                           block_cap=128, block_sub=32)
-    ts = np.asarray(ts)
-    neq = int((tw != ts).sum())
-    assert neq <= max(4, tw.size // 10_000), f"{neq}/{tw.size} sub misses"
-    for k in np.flatnonzero(tw != ts):
-        assert abs(tw[k] - ts[k]) <= 1e-3 * abs(tw[k]) + 1e-6
-    same = (np.asarray(ow) == np.asarray(os_)) & \
-        (np.asarray(rw) == np.asarray(rs))
-    assert same.mean() > 1.0 - 1e-3
-
-
-def test_mxu_mt_matches_vpu_on_hardware(cornell_scene):
-    """MXU Möller-Trumbore v2 (fast-recip epilogue, roll rank,
-    worklist) vs the production VPU compact kernel on real cornell
-    primaries: same hits up to the documented reassociation ulps of
-    the bilinear form (centroid-localized features + bf16x3 HIGHEST
-    matmul; same class as the one-hot tail)."""
-    from logipathtracer_tpu.ops.camera import generate_ray
-    from logipathtracer_tpu.ops.rng import seed_from_pixel
-    from logipathtracer_tpu.ops.traverse import intersect_scene_sweep
-
-    scene = cornell_scene
-    cam = scene.cameras[0]
-    h = w = 128
-    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
-    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
-    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
-                           jnp.float32(cam.yfov), pix, (w, h), seed)
-
-    tv, ov, rv = intersect_scene_sweep(scene, o, d, backend="compact",
-                                       tile=1024, cap=128,
-                                       rank_mode="roll", worklist=True)
-    tm, om, rm = intersect_scene_sweep(scene, o, d, backend="compact",
-                                       tile=1024, cap=128, mxu=True,
-                                       rank_mode="roll", worklist=True)
-    tv, tm = np.asarray(tv), np.asarray(tm)
-    both_hit = np.isfinite(tv) & np.isfinite(tm)
-    assert (np.isfinite(tv) == np.isfinite(tm)).mean() > 1.0 - 1e-3
-    np.testing.assert_allclose(tm[both_hit], tv[both_hit],
-                               rtol=1e-4, atol=1e-5)
