@@ -110,8 +110,15 @@ def _slab_inv(lox, loy, loz, inv_x, inv_y, inv_z, amin, amax, best_t):
                      jnp.maximum(nz, fz))
     # Same decision table as rayAABBIntersectTest (ray.glsl:39-61),
     # expressed with and/or only (Mosaic-friendly, no bool selects).
+    # The origin-inside branch carries an explicit best_t > 0 guard:
+    # bit-identical for closest-hit queries (best_t is INF/t_max/an
+    # accepted t > eps, all positive — entry t 0 < best_t was already
+    # implied) and it lets the any-hit shadow mode park BLOCKED lanes
+    # at best_t = -BIG so they fail every later slab even when their
+    # origin sits inside the AABB (compact_intersect.py round 4).
     return ((t0 <= t1)
-            & (((t0 > 0.0) & (t0 < best_t)) | ((t0 <= 0.0) & (t1 > 0.0))))
+            & (((t0 > 0.0) & (t0 < best_t))
+               | ((t0 <= 0.0) & (t1 > 0.0) & (best_t > 0.0))))
 
 
 def _fill_local_rays(lray, inv_ref, ox, oy, oz, dx, dy, dz,
@@ -467,11 +474,12 @@ def chunk_world_bounds(cl_meta, cl_aabb, obj_world, c: int, cp: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "interpret",
-                                    "has_tmax", "cap"))
+                                    "has_tmax", "cap", "any_hit"))
 def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
                              rays8, tile: int = 2048, chunk: int = 16,
                              eps: float = 1e-4, interpret: bool = False,
-                             has_tmax: bool = False, cap: int = 0):
+                             has_tmax: bool = False, cap: int = 0,
+                             any_hit: bool = False):
     """Closest hit via the HBM-streamed sweep (big scenes).
 
     Same contract as cluster_intersect_pallas; obj_world [O, 4, 4] is
@@ -538,8 +546,11 @@ def cluster_intersect_stream(cl_meta, cl_inv, cl_aabb, cl_tris, obj_world,
         kernel = functools.partial(
             _stream_compact_kernel, num_objects=o, chunk=chunk,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,
-            lanes=lanes, cap=cap, has_tmax=has_tmax, fast=not interpret)
+            lanes=lanes, cap=cap, has_tmax=has_tmax, fast=not interpret,
+            any_hit=any_hit)
     else:
+        # any_hit is a compaction-update lever; the plain sweep's
+        # closest-hit answer yields the identical occlusion predicate.
         kernel = functools.partial(
             _stream_kernel, num_objects=o, chunk=chunk,
             num_chunks=num_chunks, num_real=c, eps=eps, tile=tile,

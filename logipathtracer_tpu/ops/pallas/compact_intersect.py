@@ -152,7 +152,8 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
                                  eps: float, fast: bool = True,
-                                 ablate: str = "", hot16: bool = False):
+                                 ablate: str = "", hot16: bool = False,
+                                 any_hit: bool = False):
     """Compact the slab-passing rays of ONE fired cluster into dense
     CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
     (elementwise VPU with fast reciprocal), and scatter the
@@ -257,7 +258,14 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
         for g in range(g_n):
             sl = slice(g * 128, (g + 1) * 128)
             du = (out_all[2, sl] > 0.5) & (out_all[0, sl] < best_t[g, :])
-            best_t[g, :] = jnp.where(du, out_all[0, sl], best_t[g, :])
+            # any_hit (NEE shadow occlusion): an accepted hit < t_max
+            # BLOCKS the lane for good — park its best_t at -BIG so
+            # every later slab test fails instantly (tn < -BIG is
+            # impossible).  The visibility predicate t < t_max is
+            # unchanged (any occluder == the closest occluder blocks);
+            # t/tri/obj are NOT closest-hit values in this mode.
+            best_t[g, :] = jnp.where(
+                du, -BIG if any_hit else out_all[0, sl], best_t[g, :])
             best_tri[g, :] = jnp.where(
                 du, tri_base + out_all[1, sl].astype(jnp.int32),
                 best_tri[g, :])
@@ -274,7 +282,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                   cap: int, has_tmax: bool,
                   fast: bool = True,
                   ablate: str = "", fill_fast: bool = False,
-                  variant: str = ""):
+                  variant: str = "", any_hit: bool = False):
     """Shared body of the resident compaction kernels: sweep the
     clusters yielded by ``get_cluster(ci)`` for ci < ``trip`` (octant
     front-to-back order in _compact_kernel; a per-tile fired-cluster
@@ -374,7 +382,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                 best_tri=best_tri, best_obj=best_obj, rconsts=consts,
                 slot_ids=slot_ids,
                 g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
-                ablate=ablate, hot16=hot16)
+                ablate=ablate, hot16=hot16, any_hit=any_hit)
 
         return 0
 
@@ -421,7 +429,7 @@ def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
                            num_objects: int, chunk: int, num_chunks: int,
                            num_real: int, eps: float, tile: int,
                            lanes: int, cap: int, has_tmax: bool,
-                           fast: bool = True):
+                           fast: bool = True, any_hit: bool = False):
     """HBM-streamed variant: grid (ray tiles, cluster chunks), cluster
     blocks double-buffered from HBM (see cluster_intersect.py::
     _stream_kernel for the streaming structure, incl. the front-to-back
@@ -480,7 +488,7 @@ def _stream_compact_kernel(oct_ref, order_ref, live_ref, meta_ref, inv_ref,
                     hit, _split3(feats6), tris_ref[k],
                     tri_base, obj, best_t, best_tri, best_obj,
                     consts, slot_ids, g_n=g_n, cap=cap, lanes=lanes,
-                    eps=eps, fast=fast)
+                    eps=eps, fast=fast, any_hit=any_hit)
 
             return 0
 
@@ -499,7 +507,7 @@ def _worklist_compact_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
                              best_t, best_tri, best_obj, *, chunk: int,
                              num_real: int, eps: float, tile: int,
                              lanes: int, cap: int, has_tmax: bool,
-                             fast: bool = True):
+                             fast: bool = True, any_hit: bool = False):
     """Worklist-driven HBM-streamed compaction sweep: grid (ray tiles,).
 
     The 2-D grid stream kernel (_stream_compact_kernel) pays a fixed
@@ -586,7 +594,7 @@ def _worklist_compact_kernel(wl_ref, wn_ref, meta_ref, inv_ref,
                         hit, _split3(feats6), tris_buf[slot, k], tri_base,
                         obj, best_t, best_tri, best_obj, consts,
                         slot_ids, g_n=g_n, cap=cap, lanes=lanes,
-                        eps=eps, fast=fast)
+                        eps=eps, fast=fast, any_hit=any_hit)
 
                 return 0
 
@@ -674,11 +682,12 @@ def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "chunk", "eps", "has_tmax",
-                                    "cap"))
+                                    "cap", "any_hit"))
 def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                obj_world, rays8, tile: int = 4096,
                                chunk: int = 16, eps: float = 1e-4,
-                               has_tmax: bool = False, cap: int = 128):
+                               has_tmax: bool = False, cap: int = 128,
+                               any_hit: bool = False):
     """Closest hit via the worklist-driven streamed compaction sweep.
 
     Same contract/layouts as cluster_intersect_stream; TPU-only (the
@@ -733,7 +742,8 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
     grid = (tiles,)
     kernel = functools.partial(
         _worklist_compact_kernel, chunk=chunk, num_real=c, eps=eps,
-        tile=tile, lanes=lanes, cap=cap, has_tmax=has_tmax, fast=True)
+        tile=tile, lanes=lanes, cap=cap, has_tmax=has_tmax, fast=True,
+        any_hit=any_hit)
 
     meta_t = cl_meta.T
     aabb_t = cl_aabb.T
@@ -784,14 +794,14 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
                                              "interpret", "has_tmax",
                                              "ablate",
                                              "worklist", "fill_fast",
-                                             "variant"))
+                                             "variant", "any_hit"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
                               has_tmax: bool = False,
                               ablate: str = "", worklist: bool = False,
                               obj_world=None, fill_fast: bool = False,
-                              variant: str = ""):
+                              variant: str = "", any_hit: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
 
@@ -824,7 +834,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     common = dict(num_objects=o, eps=eps, tile=tile,
                   lanes=lanes, cap=cap, has_tmax=has_tmax,
                   fast=not interpret, ablate=ablate,
-                  fill_fast=fill_fast, variant=variant)
+                  fill_fast=fill_fast, variant=variant,
+                  any_hit=any_hit)
     out_shape = [
         jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
         jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.int32),

@@ -49,7 +49,7 @@ def _local_ray(inv_rows, origin, direction):
 
 
 def intersect_scene(scene, origin, direction, eps: float = 1e-4,
-                    t_max=None):
+                    t_max=None, any_hit: bool = False):
     """Closest-hit query for a batch of world-space rays.
 
     origin, direction: [R, 3] float32.  t_max (optional [R]): ignore
@@ -57,6 +57,11 @@ def intersect_scene(scene, origin, direction, eps: float = 1e-4,
     walk prunes everything behind the light (any-hit analog).
     Returns (t [R] f32 — INF on miss, obj [R] i32, tri [R] i32 global
     triangle index; -1 where missed).
+
+    ``any_hit`` (API parity with the sweep backends): callers only need
+    the occlusion predicate t < t_max; this walk ignores the flag (its
+    closest-hit answer yields the identical predicate), the compaction
+    sweeps use it to park blocked lanes early.
     """
     r = origin.shape[0]
     s = scene.max_stack
@@ -163,7 +168,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
                           t_max=None, cap: int = 128,
                           worklist: bool = False,
-                          fill_fast: bool = False, cm: bool = False):
+                          fill_fast: bool = False, cm: bool = False,
+                          any_hit: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -189,7 +195,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             has_tmax=t_max is not None,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            fill_fast=fill_fast)
+            fill_fast=fill_fast,
+            any_hit=any_hit and t_max is not None)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -202,7 +209,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
                            tile: int = 2048, chunk: int = 16,
                            backend: str = "pallas", t_max=None,
-                           cap: int = 0, cm: bool = False):
+                           cap: int = 0, cm: bool = False,
+                           any_hit: bool = False):
     """Closest hit via the HBM-streamed cluster sweep — scenes whose
     cluster data exceeds the resident kernel's VMEM budget
     (ops/pallas/cluster_intersect.py::cluster_intersect_stream).  Same
@@ -216,14 +224,14 @@ def intersect_scene_stream(scene, origin, direction, eps: float = 1e-4,
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
         interpret=(backend == "interpret"), has_tmax=t_max is not None,
-        cap=cap)
+        cap=cap, any_hit=any_hit and t_max is not None)
     return t[:r], obj[:r], tri[:r]
 
 
 def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
                              tile: int = 4096, chunk: int = 16,
                              t_max=None, cap: int = 128,
-                             cm: bool = False):
+                             cm: bool = False, any_hit: bool = False):
     """Closest hit via the worklist-driven streamed compaction sweep
     (compact_intersect.py::cluster_intersect_worklist) — the TPU
     production path for beyond-VMEM scenes.  Same contract as
@@ -236,7 +244,8 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
     t, tri, obj = cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, rays8, tile=tile, chunk=chunk, eps=eps,
-        has_tmax=t_max is not None, cap=cap)
+        has_tmax=t_max is not None, cap=cap,
+        any_hit=any_hit and t_max is not None)
     return t[:r], obj[:r], tri[:r]
 
 

@@ -121,30 +121,40 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
     walk elsewhere (the CPU 'lavapipe analog', SURVEY.md §4).
 
     ``cm``: the returned closure takes component-major [3, R] rays
-    (cfg.pool_cm pool state) instead of [R, 3]."""
+    (cfg.pool_cm pool state) instead of [R, 3].
+
+    Every closure takes ``any_hit`` (NEE shadow occlusion queries, used
+    with t_max): the compaction sweeps park blocked lanes at the first
+    accepted hit; other backends answer closest-hit, which yields the
+    identical t < t_max predicate."""
     mode = resolve_intersect_mode(cfg, scene)
     if mode == "bvh":
         if cm:
-            return lambda s, o, d, eps, t_max=None: intersect_scene(
-                s, o.T, d.T, eps=eps, t_max=t_max)
+            return lambda s, o, d, eps, t_max=None, any_hit=False: \
+                intersect_scene(s, o.T, d.T, eps=eps, t_max=t_max,
+                                any_hit=any_hit)
         return intersect_scene
     if mode == "sweep":
-        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
-            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas",
-            t_max=t_max, cm=cm)
+        return lambda s, o, d, eps, t_max=None, any_hit=False: \
+            intersect_scene_sweep(
+                s, o, d, eps=eps, tile=cfg.sweep_tile, backend="pallas",
+                t_max=t_max, cm=cm)
     if mode == "sweep_interpret":
-        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
-            s, o, d, eps=eps, tile=cfg.sweep_tile, backend="interpret",
-            t_max=t_max, cm=cm)
+        return lambda s, o, d, eps, t_max=None, any_hit=False: \
+            intersect_scene_sweep(
+                s, o, d, eps=eps, tile=cfg.sweep_tile,
+                backend="interpret", t_max=t_max, cm=cm)
     if mode in ("compact", "compact_interpret"):
-        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
-            s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
-            t_max=t_max, cap=cfg.compact_cap,
-            worklist=cfg.compact_worklist,
-            fill_fast=cfg.fill_fast, cm=cm)
+        return lambda s, o, d, eps, t_max=None, any_hit=False: \
+            intersect_scene_sweep(
+                s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
+                t_max=t_max, cap=cfg.compact_cap,
+                worklist=cfg.compact_worklist,
+                fill_fast=cfg.fill_fast, cm=cm, any_hit=any_hit)
     if mode == "sweep_jnp":
-        return lambda s, o, d, eps, t_max=None: intersect_scene_sweep(
-            s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)
+        return lambda s, o, d, eps, t_max=None, any_hit=False: \
+            intersect_scene_sweep(
+                s, o, d, eps=eps, backend="jnp", t_max=t_max, cm=cm)
     if mode in ("stream", "stream_interpret"):
         from logipathtracer_tpu.ops.traverse import intersect_scene_stream
         backend = "interpret" if mode == "stream_interpret" else "pallas"
@@ -155,14 +165,17 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
             # interpret/CPU twin and the cap=0 fallback.
             from logipathtracer_tpu.ops.traverse import \
                 intersect_scene_worklist
-            return lambda s, o, d, eps, t_max=None: \
+            return lambda s, o, d, eps, t_max=None, any_hit=False: \
                 intersect_scene_worklist(
                     s, o, d, eps=eps, tile=cfg.stream_tile,
                     chunk=cfg.stream_chunk, t_max=t_max, cap=cap,
-                    cm=cm)
-        return lambda s, o, d, eps, t_max=None: intersect_scene_stream(
-            s, o, d, eps=eps, tile=cfg.stream_tile, chunk=cfg.stream_chunk,
-            backend=backend, t_max=t_max, cap=cap, cm=cm)
+                    cm=cm, any_hit=any_hit)
+        return lambda s, o, d, eps, t_max=None, any_hit=False: \
+            intersect_scene_stream(
+                s, o, d, eps=eps, tile=cfg.stream_tile,
+                chunk=cfg.stream_chunk,
+                backend=backend, t_max=t_max, cap=cap, cm=cm,
+                any_hit=any_hit)
     raise ValueError(f"unknown intersect mode {mode!r}")
 
 
@@ -308,15 +321,27 @@ def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
                              nearest_aware=scene.has_nearest)
         return (tid >= 0), s
 
-    has_c, c = tap(0)
-    base_color = jnp.where(has_c[:, None], base_color * c, base_color)
-    has_e, e = tap(1)
-    emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
-    has_mr, mr = tap(2)
-    metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
-    roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
-    has_t, tt = tap(3)
-    transmission = jnp.where(has_t, transmission * tt[:, 0], transmission)
+    # Statically skip slots NO object textures (scene.tex_slots): each
+    # tap is 4+ per-ray gathers ~= 14 ms/Mray of XLA gather machinery
+    # (round-4 box-scene decomposition) — the TPU analog of the
+    # reference's per-feature shader specialization.
+    used = scene.tex_slots
+    if used[0]:
+        has_c, c = tap(0)
+        base_color = jnp.where(has_c[:, None], base_color * c,
+                               base_color)
+    if used[1]:
+        has_e, e = tap(1)
+        emission = jnp.where(has_e[:, None], emission * e[:, :3],
+                             emission)
+    if used[2]:
+        has_mr, mr = tap(2)
+        metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+        roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
+    if used[3]:
+        has_t, tt = tap(3)
+        transmission = jnp.where(has_t, transmission * tt[:, 0],
+                                 transmission)
 
     # Normal map about the pre-map basis (shade_step:412-424).
     n_loc = (bary[:, 0:1] * tshade[:, 0:3]
@@ -330,17 +355,22 @@ def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
     pick_y = jnp.abs(ff[:, 0]) > 0.1
     axis = jnp.where(pick_y[:, None], jnp.array([0.0, 1.0, 0.0]),
                      jnp.array([1.0, 0.0, 0.0]))
-    u = jnp.cross(axis, ff)
-    u = u / jnp.sqrt(jnp.maximum(
-        jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
-    v = jnp.cross(ff, u)
-    has_n, nmap = tap(4)
-    tn = nmap[:, :3] * 2.0 - 1.0
-    tn = tn / jnp.sqrt(jnp.maximum(
-        jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
-    ff_mapped = tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff
-    ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
-        jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True), 1e-38))
+    if used[4]:
+        u = jnp.cross(axis, ff)
+        u = u / jnp.sqrt(jnp.maximum(
+            jnp.sum(u * u, axis=-1, keepdims=True), 1e-38))
+        v = jnp.cross(ff, u)
+        has_n, nmap = tap(4)
+        tn = nmap[:, :3] * 2.0 - 1.0
+        tn = tn / jnp.sqrt(jnp.maximum(
+            jnp.sum(tn * tn, axis=-1, keepdims=True), 1e-38))
+        ff_mapped = tn[:, 0:1] * u + tn[:, 1:2] * v + tn[:, 2:3] * ff
+        ff_mapped = ff_mapped / jnp.sqrt(jnp.maximum(
+            jnp.sum(ff_mapped * ff_mapped, axis=-1, keepdims=True),
+            1e-38))
+    else:
+        has_n = jnp.zeros(ff.shape[0], bool)
+        ff_mapped = ff
 
     oshade = oshade.at[:, 21:25].set(base_color)
     oshade = oshade.at[:, 25:28].set(emission)
@@ -450,7 +480,7 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
         t_lim = out[ps.O_TLIM]
         contrib = out[ps.O_CR:ps.O_CB + 1]
         t_s, _, _ = isect(scene, shadow_o, shadow_d, eps=cfg.eps,
-                          t_max=t_lim)
+                          t_max=t_lim, any_hit=True)
         visible = t_s >= t_lim
         acc = acc + (jnp.where(visible[None, :], contrib, 0.0) if cm
                      else jnp.where(visible[:, None], contrib.T, 0.0))
@@ -573,16 +603,26 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                 s = sample_atlas(scene.tex_atlas, scene.tex_table, tid,
                                  uv)
             return (tid >= 0), s
-        has_c, c = tap(0)
-        base_color = jnp.where(has_c[:, None], base_color * c, base_color)
-        has_e, e = tap(1)
-        emission = jnp.where(has_e[:, None], emission * e[:, :3], emission)
-        has_mr, mr = tap(2)
-        metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
-        roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
-        has_t, tt = tap(3)
-        transmission = jnp.where(has_t, transmission * tt[:, 0],
-                                 transmission)
+        # Statically skip slots NO object textures (scene.tex_slots;
+        # mirrors _resolve_tex_prologue's specialization).
+        used = scene.tex_slots
+        if used[0]:
+            has_c, c = tap(0)
+            base_color = jnp.where(has_c[:, None], base_color * c,
+                                   base_color)
+        if used[1]:
+            has_e, e = tap(1)
+            emission = jnp.where(has_e[:, None], emission * e[:, :3],
+                                 emission)
+        if used[2]:
+            has_mr, mr = tap(2)
+            metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+            roughness = jnp.where(has_mr, roughness * mr[:, 1],
+                                  roughness)
+        if used[3]:
+            has_t, tt = tap(3)
+            transmission = jnp.where(has_t, transmission * tt[:, 0],
+                                     transmission)
 
     base_color = srgb_to_linear(base_color)
 
@@ -630,7 +670,7 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
     else:
         acc = acc + jnp.where(alive[:, None], mask * emission, 0.0)
 
-    if scene.has_textures:
+    if scene.has_textures and scene.tex_slots[4]:
         tex = jnp.take(scene.obj_tex, safe_obj, axis=0)
         has_n, nmap = tap(4)
         tn = nmap[:, :3] * 2.0 - 1.0
@@ -700,7 +740,8 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
         # Shadow query with t_max: clusters behind the light are pruned
         # in the kernel (the sweep's any-hit analog).
         t_lim = jnp.where(nee_mask, dist * (1.0 - 1e-3), 1.0)
-        t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps, t_max=t_lim)
+        t_s, _, _ = isect(scene, pos_hit, wl, eps=cfg.eps, t_max=t_lim,
+                          any_hit=True)
         visible = t_s >= t_lim
         p_light = dist2 / (jnp.maximum(cos_l, 1e-9)
                            * scene.total_light_area)

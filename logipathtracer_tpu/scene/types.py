@@ -135,6 +135,15 @@ class SceneSoA:
     max_stack: int = 16
     leaf_width: int = 4   # max triangles per leaf (static unroll width)
     has_textures: bool = False
+    tex_slots: tuple = (True, True, True, True, True)
+                          # static per-scene slot usage (base, emissive,
+                          # metallic-roughness, transmission, normal):
+                          # False = NO object textures that slot, so the
+                          # shade prologue skips its 4-gather tap
+                          # entirely (the TPU analog of the reference's
+                          # per-feature GLSL #define specialization,
+                          # SURVEY §5.6; measured round 4: each tap is
+                          # ~14 ms/Mray of XLA gather machinery)
     has_nearest: bool = False  # any texture sampler uses NEAREST
                                # filtering (glTF magFilter/minFilter
                                # 9728/998x; the reference honors these
@@ -163,7 +172,8 @@ class SceneSoA:
         "light_tris", "light_cdf",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
-                      "leaf_width", "has_textures", "has_nearest",
+                      "leaf_width", "has_textures", "tex_slots",
+                      "has_nearest",
                       "mip_levels",
                       "num_lights",
                       "total_light_area", "cluster_size",

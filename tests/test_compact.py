@@ -86,6 +86,15 @@ def test_compact_tmax_shadow(cornell_scene, rng, worklist):
     vis_full = np.asarray(t_full) >= np.asarray(dist)
     vis_lim = np.asarray(t_lim) >= np.asarray(dist)
     np.testing.assert_array_equal(vis_full, vis_lim)
+    # any_hit=True (round 4): blocked lanes may report t=-BIG instead
+    # of the closest hit, but the occlusion predicate must be EXACTLY
+    # the closest-hit one (any occluder < t_max == closest < t_max).
+    t_any, _, _ = intersect_scene_sweep(s, o, d,
+                                        backend="compact_interpret",
+                                        tile=256, t_max=dist,
+                                        worklist=worklist, any_hit=True)
+    vis_any = np.asarray(t_any) >= np.asarray(dist)
+    np.testing.assert_array_equal(vis_full, vis_any)
 
 
 def test_nee_render_with_compact_matches_bvh(cornell_scene):
