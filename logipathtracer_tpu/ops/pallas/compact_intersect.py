@@ -77,11 +77,6 @@ def _dotg(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _bits16(a):
-    """bf16 -> int16 bit view (lax bitcast; works in interpret mode)."""
-    return jax.lax.bitcast_convert_type(a, jnp.int16)
-
-
 def _split3(a):
     """a (f32) -> [3K, ...] bf16 rows (hi/mid/lo stacked on the row
     axis): successive bf16 roundings reconstruct every f32 exactly
@@ -152,8 +147,7 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
                                  eps: float, fast: bool = True,
-                                 ablate: str = "", hot16: bool = False,
-                                 any_hit: bool = False):
+                                 ablate: str = "", any_hit: bool = False):
     """Compact the slab-passing rays of ONE fired cluster into dense
     CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
     (elementwise VPU with fast reciprocal), and scatter the
@@ -169,14 +163,10 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
     (callers may hoist it per object out of the cluster loop — the
     round-4 'presplit' lever).
 
-    ``hot16``: build the [cap, tile] one-hot with a 16-bit compare
-    (rank_sh cast to bf16 AFTER the f32 base subtraction, compared as
-    int16 BITS — Mosaic rejects bf16 cmpf on v5e) instead of an f32
-    compare — EXACT: in-window ranks are integers in [0, cap) <= 2^8
-    (exact in bf16, so bit equality == value equality), the subtraction
-    happened in f32, and bf16 rounding is monotonic so out-of-window
-    values can never cross into [0, cap); halves the compare's vector
-    width.
+    (A 16-bit one-hot compare was tried round 4 and is IMPOSSIBLE on
+    v5e: Mosaic rejects both bf16 cmpf AND int16 cmpi vector compares
+    — "Target does not support this comparison".  The f32 compare +
+    bf16 cast below is the narrowest supported build.)
 
     ``ablate`` (probe-only, wrong results): 'norank' skips the roll
     prefix chain; 'ksmall' builds the one-hot and runs the gather/
@@ -211,14 +201,6 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
             # the [cap, tile] compare+cast build cost (wrong results)
             p_t = iota_cap_bf
             acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))
-        elif hot16:
-            # bf16-width one-hot compare via int16 BIT equality (bf16
-            # cmpf is unsupported by Mosaic on v5e; bit equality is
-            # value equality here — integer rank values, no NaN/-0).
-            rank_sh = _bits16((rank_flat - basef).astype(jnp.bfloat16))
-            p_t = (rank_sh == _bits16(iota_cap_bf)).astype(
-                jnp.bfloat16)                            # [cap, tile]
-            acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
         else:
             rank_sh = rank_flat - basef                  # [1, tile]
             p_t = (rank_sh == iota_cap_t).astype(
@@ -291,15 +273,8 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
     ``variant`` (round-4 levers, CORRECT results — bit-identical hits,
     unlike ``ablate``): 'presplit' hoists the per-cluster _split3 of
     the local-ray features out of the cluster loop (once per object
-    into the ``lray3`` scratch); 'hot16' builds the one-hot with a
-    16-bit bit-equality compare instead of the f32 compare."""
+    into the ``lray3`` scratch)."""
     g_n = tile // 128
-    # 'hot16' would compare the one-hot at bf16 width, but Mosaic
-    # REJECTS bf16 vector compares on v5e ("Target does not support
-    # this comparison", measured round 4) — the variant compares the
-    # bf16 values' BITS as int16 instead (exact: in-window ranks are
-    # integers — identical bf16 bit patterns, no NaN/-0 involved).
-    hot16 = "hot16" in variant
     presplit = "presplit" in variant
     ox = rays_ref[0, :]
     oy = rays_ref[1, :]
@@ -382,7 +357,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                 best_tri=best_tri, best_obj=best_obj, rconsts=consts,
                 slot_ids=slot_ids,
                 g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
-                ablate=ablate, hot16=hot16, any_hit=any_hit)
+                ablate=ablate, any_hit=any_hit)
 
         return 0
 

@@ -43,14 +43,13 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, worklist):
     assert (tie | ~diff).all()
 
 
-@pytest.mark.parametrize("variant", ["hot16", "presplit",
-                                     "hot16,presplit"])
+@pytest.mark.parametrize("variant", ["presplit"])
 def test_compact_variants_bit_identical(cornell_scene, rng, variant):
     """Round-4 CORRECT-results kernel variants must be BIT-identical to
-    the baseline: 'hot16' (one-hot via 16-bit bit-equality compare —
-    exact because in-window ranks are integers <= 2^8, see the kernel
-    docstring) and 'presplit' (per-object hoisted _split3 — the same
-    values read from scratch instead of recomputed per cluster)."""
+    the baseline: 'presplit' (per-object hoisted _split3 — the same
+    values read from scratch instead of recomputed per cluster).
+    (A 16-bit one-hot compare variant was killed in round 4: Mosaic on
+    v5e rejects bf16 AND int16 vector compares.)"""
     from logipathtracer_tpu.ops.pallas.compact_intersect import \
         cluster_intersect_compact
     s = cornell_scene
