@@ -17,6 +17,24 @@ WRAP_CLAMP = 33071
 WRAP_MIRROR = 33648
 
 
+def _fetch_rows(atlas, flat):
+    """Gather texel rows by flat index -> [..., 4] f32 linear [0, 1].
+
+    f32 atlas ([AH, AW, 4]): one 4-col row gather.  Packed RGBA8 atlas
+    ([AH, AW] u32, scene/compile.py:_pack_textures): ONE u32 row per
+    texel — 4x fewer gathered elements (the gather cost is per element)
+    — then an in-register unpack; the /255.0 divisions match the f32
+    packer's exactly (bitwise, both IEEE f32 divides of integers
+    0..255), so both layouts produce identical sample values.
+    """
+    if atlas.ndim == 2:  # packed u32
+        v = jnp.take(atlas.reshape(-1), flat, axis=0)
+        return jnp.stack(
+            [((v >> (8 * i)) & 0xFF).astype(jnp.float32) / 255.0
+             for i in range(4)], axis=-1)
+    return jnp.take(atlas.reshape(-1, 4), flat, axis=0)
+
+
 def _wrap(coord, size, mode):
     """Apply wrap mode to unnormalized texel coordinates [..,] int32."""
     sizef = size.astype(jnp.float32)
@@ -51,8 +69,7 @@ def _bilinear(atlas, entry, uv):
     def fetch(px, py):
         px = _wrap(px, w, ws) + x0
         py = _wrap(py, h, wt) + y0
-        flat = py * aw + px
-        return jnp.take(atlas.reshape(-1, 4), flat, axis=0)
+        return _fetch_rows(atlas, py * aw + px)
 
     c00 = fetch(ix, iy)
     c10 = fetch(ix + 1, iy)
@@ -73,7 +90,7 @@ def _nearest(atlas, entry, uv):
     px = _wrap(ix, w, ws) + x0
     py = _wrap(iy, h, wt) + y0
     aw = atlas.shape[1]
-    return jnp.take(atlas.reshape(-1, 4), py * aw + px, axis=0)
+    return _fetch_rows(atlas, py * aw + px)
 
 
 def _filtered(atlas, entry, uv, flag_col: int, nearest_aware: bool):

@@ -61,6 +61,11 @@ _I32_MAX = jnp.iinfo(jnp.int32).max
 # CPU-sized pools).
 REGEN_FLOOR = 1 << 15
 
+# Smallest sliced trace+shade window (the occupancy ladder): windows
+# below this aren't worth the extra compiled shapes, and CPU test
+# pools (<= this) skip the ladder entirely unless a test shrinks it.
+TRACE_FLOOR = 1 << 17
+
 
 def _bitcast_f(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
@@ -471,13 +476,76 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
 
         # ---- intersect + shade ----------------------------------------
         rays = st["rays"] + jnp.sum(alive.astype(jnp.float32))
-        t, obj, tri = isect(scene, origin, direction, eps=cfg.eps)
-        shaded_alive = alive
-        origin, direction, acc, mask, alive, seed, prev_pdf = shade_step(
-            scene, cfg, origin, direction, acc, mask, alive, seed, bounce,
-            t, obj, tri, prev_pdf=prev_pdf, isect=isect, cm=cm)
-        bounce = jnp.where(shaded_alive, bounce + 1, bounce)
-        alive = alive & (bounce < cfg.max_depth)
+
+        def trace_shade_rows(sub):
+            """Trace + shade any contiguous lane package (full pool or
+            the alive-prefix window); ``sub`` holds the state slices."""
+            t, obj, tri = isect(scene, sub["origin"], sub["direction"],
+                                eps=cfg.eps)
+            shaded_alive = sub["alive"]
+            origin, direction, acc, mask, alive2, seed, prev_pdf = \
+                shade_step(scene, cfg, sub["origin"], sub["direction"],
+                           sub["acc"], sub["mask"], sub["alive"],
+                           sub["seed"], sub["bounce"], t, obj, tri,
+                           prev_pdf=sub["prev_pdf"], isect=isect, cm=cm)
+            bounce = jnp.where(shaded_alive, sub["bounce"] + 1,
+                               sub["bounce"])
+            return dict(origin=origin, direction=direction, acc=acc,
+                        mask=mask, seed=seed, prev_pdf=prev_pdf,
+                        alive=alive2 & (bounce < cfg.max_depth),
+                        bounce=bounce)
+
+        _TKEYS = ("origin", "direction", "mask", "acc", "seed", "alive",
+                  "prev_pdf", "bounce")
+
+        def trace_full(args):
+            out = trace_shade_rows(dict(zip(_TKEYS, args)))
+            return tuple(out[k] for k in _TKEYS)
+
+        # Occupancy ladder: post-sort the alive lanes are a contiguous
+        # PREFIX [0, n_alive) (alive keys < free < retired; regen fills
+        # free lanes starting at n_alive, and its `valid` mask is a
+        # rank-prefix of the free region, so refills extend the prefix
+        # contiguously).  Tracing + shading only the smallest window
+        # covering the alive lanes skips the per-lane cost of parked
+        # tail lanes entirely — intersect already parks them cheaply,
+        # but shade's table gathers and the fused kernel are O(window).
+        # Bit-identical for live lanes: tile boundaries of the prefix
+        # window match the full dispatch (lane 0 alignment), and dead
+        # tail state is untouched either way (regen overwrites it).
+        def trace_sliced(cap_k):
+            def f(args):
+                stt = dict(zip(_TKEYS, args))
+                ax = {k: (stt[k].ndim - 1 if cm else 0) for k in _TKEYS}
+                sub = {k: jax.lax.slice_in_dim(stt[k], 0, cap_k,
+                                               axis=ax[k])
+                       for k in _TKEYS}
+                out = trace_shade_rows(sub)
+                stt = {k: jnp.concatenate(
+                    [out[k], jax.lax.slice_in_dim(
+                        stt[k], cap_k, p, axis=ax[k])], axis=ax[k])
+                    for k in _TKEYS}
+                return tuple(stt[k] for k in _TKEYS)
+            return f
+
+        trace_caps = [c for c in (p // 4, p // 2)
+                      if TRACE_FLOOR <= c < p]
+        args = (origin, direction, mask, acc, seed, alive, prev_pdf,
+                bounce)
+        if cfg.sort_rays and cfg.sort_every <= 1 and trace_caps:
+            # The prefix-contiguity argument needs a sort THIS
+            # iteration (same gate as the sliced regen ladder).
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            trace_fn = trace_full
+            for cap_k in reversed(trace_caps):
+                trace_fn = (
+                    lambda a, c=cap_k, nxt=trace_fn: jax.lax.cond(
+                        n_alive <= c, trace_sliced(c), nxt, a))
+            args = trace_fn(args)
+        else:
+            args = trace_full(args)
+        (origin, direction, mask, acc, seed, alive, prev_pdf,
+         bounce) = args
 
         return dict(origin=origin, direction=direction, mask=mask, acc=acc,
                     seed=seed, alive=alive, pending=pending,

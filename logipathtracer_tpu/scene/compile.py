@@ -478,11 +478,20 @@ def _exact_stack_need(fused_meta: np.ndarray) -> int:
 
 
 def _pack_textures(gltf: Gltf, mip_levels: int = 1):
-    """Shelf-pack all textures into one RGBA f32 atlas.
+    """Shelf-pack all textures into one RGBA atlas.
 
     The reference binds up to 512 separate sampled images
     (path_tracing.comp:105); TPU has no samplers, so sampling is a
     gather from this atlas (ops/texture.py).
+
+    LOD-0-only scenes (mip_levels == 1) with pure 8-bit sources pack
+    the atlas as ONE uint32 per texel (RGBA8, little-endian) — every
+    bilinear tap then gathers 4 u32 rows instead of 4x4 f32 rows (the
+    XLA row-gather cost is per element, so this is the single biggest
+    textured-shade lever), and the sampler's in-register unpack + /255
+    reproduces the f32 values the unpacked atlas stored.  Mip chains
+    (box-filtered means, not 8-bit-representable) and non-u8 sources
+    keep the [AH, AW, 4] f32 layout.
 
     mip_levels > 1 (cfg.mip_levels — beyond the reference, which
     samples implicit LOD 0 from compute) appends a 2x2 box-filtered mip
@@ -495,18 +504,21 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
         table = np.zeros((1, 8), np.int32)
         table[0] = (0, 0, 1, 1, 10497, 10497, 0, 0)
         return (atlas, table, np.zeros(1, np.int32), np.ones(1, np.int32))
+    packed = (mip_levels == 1
+              and all(t.pixels.dtype == np.uint8 for t in gltf.textures))
 
     # Per-texture mip chains (level 0 = the source image).  Filter
     # flags (glTF sampler magFilter/minFilter — the reference honors
     # them via Vulkan sampler state, src/PTSceneConverter.cpp:335-386):
     # col 6 = NEAREST magnification, col 7 = NEAREST within-level
     # minification (NEAREST / NEAREST_MIPMAP_*).
-    entries = []  # (pixels_f32, wrap_s, wrap_t, mag_nearest, min_nearest)
+    entries = []  # (pixels, wrap_s, wrap_t, mag_nearest, min_nearest)
     mip_base = np.zeros(len(gltf.textures), np.int32)
     mip_count = np.zeros(len(gltf.textures), np.int32)
     for i, t in enumerate(gltf.textures):
         mip_base[i] = len(entries)
-        img = t.pixels.astype(np.float32) / 255.0
+        img = (t.pixels if packed
+               else t.pixels.astype(np.float32) / 255.0)
         mag_n = int(getattr(t, "mag_filter", 9729) == 9728)
         min_n = int(getattr(t, "min_filter", 9729) in (9728, 9984, 9986))
         levels = 0
@@ -537,11 +549,15 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
         shelf_x += w
         shelf_h = max(shelf_h, h)
     total_h = shelf_y + shelf_h
-    atlas = np.zeros((total_h, max_w, 4), np.float32)
+    atlas = np.zeros((total_h, max_w, 4),
+                     np.uint8 if packed else np.float32)
     table = np.zeros((len(entries), 8), np.int32)
     for i, ((img, ws, wt, mg, mn), (x, y)) in enumerate(
             zip(entries, coords)):
         h, w = img.shape[:2]
         atlas[y:y + h, x:x + w] = img
         table[i] = (x, y, w, h, ws, wt, mg, mn)
+    if packed:
+        # [AH, AW] u32: r | g<<8 | b<<16 | a<<24 (little-endian view).
+        atlas = np.ascontiguousarray(atlas).view(np.uint32)[:, :, 0]
     return atlas, table, mip_base, mip_count

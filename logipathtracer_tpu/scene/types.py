@@ -94,7 +94,9 @@ class SceneSoA:
 
     # Texture atlas (512-slot bindless array equivalent,
     # shaders/path_tracing.comp:105).
-    tex_atlas: Any        # [AH, AW, 4] f32, linear [0,1] storage
+    tex_atlas: Any        # [AH, AW, 4] f32 linear [0,1], or [AH, AW]
+                          # u32 packed RGBA8 (LOD-0-only u8 scenes —
+                          # see scene/compile.py:_pack_textures)
     tex_table: Any        # [NE, 6] i32: x, y, w, h, wrap_s, wrap_t
                           # (one entry per texture per mip level)
     tex_mip_base: Any     # [NT] i32 first table entry of texture t

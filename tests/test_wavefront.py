@@ -135,6 +135,34 @@ def test_sliced_regen_ladder_preserves_image(cornell_scene, monkeypatch):
         render_wavefront.clear_cache()
 
 
+def test_occupancy_ladder_preserves_image(cornell_scene, monkeypatch):
+    """The trace+shade occupancy ladder (p//4 / p//2 alive-prefix
+    windows) must be radiance- and ray-count-preserving: live lanes see
+    identical tile compositions (prefix windows start at lane 0), and
+    dead tail lanes are regen-overwritten before reuse either way.
+    Production pools engage it via TRACE_FLOOR; here the floor shrinks
+    so CPU-sized pools exercise both rungs (drain iterations drop the
+    alive count through every window size)."""
+    import logipathtracer_tpu.render.wavefront as wf
+    cfg = RenderConfig(width=32, height=32, max_depth=5, intersect="bvh")
+    cam = cornell_scene.cameras[0]
+    args = (jnp.asarray(cam.world_matrix), jnp.float32(cam.yfov),
+            jnp.asarray(SEEDS[:2], jnp.uint32))
+    ref, rays_ref, _ = render_wavefront(cornell_scene, cfg, *args,
+                                        pool=2048)
+    ref = np.asarray(ref)
+    monkeypatch.setattr(wf, "TRACE_FLOOR", 64)
+    render_wavefront.clear_cache()  # the floor is not in the jit key
+    try:
+        out, rays_out, _ = render_wavefront(cornell_scene, cfg, *args,
+                                            pool=2048)
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   rtol=1e-6, atol=1e-7)
+        assert float(rays_ref) == float(rays_out)
+    finally:
+        render_wavefront.clear_cache()
+
+
 def test_wavefront_row_slab(cornell_scene):
     """y0/rows slab renders must tile back into the full-frame render
     (absolute-pixel RNG keying — what tile-parallel meshes rely on)."""
