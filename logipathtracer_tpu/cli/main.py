@@ -164,11 +164,10 @@ def _ansi_frame(img: np.ndarray) -> str:
 
 
 def cmd_view(args) -> int:
-    cfg, scene, r = _build(args)
-
     if args.frames:
         # Non-interactive demo/smoke mode: render N progressive frames,
         # print the last one as ANSI, exit (no tty needed).
+        cfg, scene, r = _build(args)
         for i in range(args.frames):
             r.step(1)
             if args.orbit:
@@ -180,7 +179,24 @@ def cmd_view(args) -> int:
 
     import select
     import termios
+    import threading
     import tty
+
+    # Async scene load (reference parity: Main.cpp:45 compiles the PT
+    # scene on a background thread while the window loop runs, gated at
+    # RendererPT.cpp:608-612): the terminal session is live — and
+    # responsive to 'x' — immediately; rendering starts when the
+    # compile lands.
+    box = {}
+
+    def _load():
+        try:
+            box["built"] = _build(args)
+        except Exception as exc:  # surfaced in the main loop
+            box["error"] = exc
+
+    loader = threading.Thread(target=_load, daemon=True)
+    loader.start()
 
     move = 0.05
     turn = 0.02
@@ -194,6 +210,18 @@ def cmd_view(args) -> int:
     try:
         tty.setcbreak(fd)
         sys.stdout.write("\x1b[2J")
+        t0 = time.perf_counter()
+        while "built" not in box:
+            if "error" in box:
+                raise box["error"]
+            sys.stdout.write(
+                f"\x1b[Hcompiling {os.path.basename(args.scene)} ... "
+                f"{time.perf_counter() - t0:5.1f}s  [x quit]\n")
+            sys.stdout.flush()
+            if select.select([sys.stdin], [], [], 0.2)[0]:
+                if sys.stdin.read(1) == "x":
+                    return 0
+        cfg, scene, r = box["built"]
         while True:
             r.step(1)
             frame = _ansi_frame(np.asarray(r.image()))

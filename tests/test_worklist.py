@@ -67,6 +67,61 @@ def test_worklists_match_numpy(rng, boxes):
         assert set(wl[t, :wn[t]].tolist()) == fired_ref
 
 
+def test_frustum_mask_superset(rng, boxes):
+    """frustum_cluster_mask must be a SUPERSET of the exact per-ray
+    world slab fired set (its bit-identity argument): any cluster it
+    culls has no live ray whose slab passes.  Exercised on octant-pure
+    sorted-ish tiles (the production shape), scrambled tiles (worst
+    case for the interval bounds — mask may be loose but never wrong),
+    parked lanes, and t_max pools."""
+    from logipathtracer_tpu.ops.frustum import frustum_cluster_mask
+    cmin, cmax = boxes
+    r, tile = 512, 128
+    o = rng.uniform(-12, 12, (r, 3)).astype(np.float32)
+    d = rng.standard_normal((r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # Octant-sort half the pool (production tiles are octant-pure);
+    # park a scattering of lanes.
+    octant = (d[:, 0] > 0) * 4 + (d[:, 1] > 0) * 2 + (d[:, 2] > 0)
+    order = np.argsort(octant[: r // 2], kind="stable")
+    o[: r // 2] = o[order]
+    d[: r // 2] = d[order]
+    parked = rng.uniform(size=r) < 0.1
+    o[parked] = 1e30
+    d[parked] = 1.0
+    tmax = rng.uniform(0.5, 30.0, r).astype(np.float32)
+
+    for hint in (None, tmax):
+        mask = np.asarray(frustum_cluster_mask(
+            _rays8(o, d, tmax if hint is not None else None),
+            jnp.asarray(cmin), jnp.asarray(cmax), tile,
+            best_hint=jnp.asarray(hint) if hint is not None else None))
+        tiles = r // tile
+        for t in range(tiles):
+            for c in range(cmin.shape[0]):
+                if mask[t, c]:
+                    continue  # conservative side — nothing to check
+                for i in range(t * tile, (t + 1) * tile):
+                    if parked[i]:
+                        continue
+                    best = float(tmax[i]) if hint is not None else BIG
+                    assert not _np_slab(o[i], d[i], cmin[c], cmax[c],
+                                        best), (t, c, i)
+
+
+def test_frustum_mask_all_parked_tile():
+    """A fully-parked tile must cull every cluster (wn == 0 analog)."""
+    from logipathtracer_tpu.ops.frustum import frustum_cluster_mask
+    r, tile = 256, 128
+    o = np.full((r, 3), 1e30, np.float32)
+    d = np.ones((r, 3), np.float32)
+    cmin = np.array([[-1e9, -1e9, -1e9]], np.float32)
+    cmax = np.array([[1e9, 1e9, 1e9]], np.float32)
+    mask = np.asarray(frustum_cluster_mask(
+        _rays8(o, d), jnp.asarray(cmin), jnp.asarray(cmax), tile))
+    assert not mask.any()
+
+
 def test_worklists_front_to_back(rng, boxes):
     """Within a tile, listed chunks are ordered by mean-direction
     projection of their centroids (ascending = near first for rays
