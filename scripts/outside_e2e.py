@@ -43,13 +43,16 @@ def main():
         seeds = jnp.asarray(rng.integers(1, 2 ** 31, (args.samples, 2)),
                             jnp.uint32)
         # warmup/compile with the same shapes
+        # NB: block_until_ready does NOT synchronize through the axon
+        # relay (stage_profile sync note) — fetch one element instead.
+        sync = lambda a: float(jnp.sum(a.reshape(-1)[0:1]))
         acc, rays, iters = render_wavefront(scene, cfg, cam_world, fov,
                                             seeds, pool=pool)
-        jax.block_until_ready(acc)
+        sync(acc)
         t0 = time.perf_counter()
         acc, rays, iters = render_wavefront(scene, cfg, cam_world, fov,
                                             seeds, pool=pool)
-        jax.block_until_ready(acc)
+        sync(acc)
         dt = time.perf_counter() - t0
         rays = float(rays)
         iters = int(iters)

@@ -251,6 +251,41 @@ def main():
                           prev_pdf=prev_pdf, isect=isect, rand=rand,
                           cm=cm)
 
+    # Feature-ablated shade twins for the nee/textured --shade-split:
+    # the texture prologue, the NEE machinery (in-kernel light sampling
+    # + the shadow-ray sweep), and the base shade share gather/row
+    # machinery, so DELTAS against the production step are the honest
+    # attribution (the round-4 q14 decomposition, now reproducible).
+    if args.shade_split and (cfg.nee or scene.has_textures):
+        import dataclasses as _dc
+        _scene_nt = _dc.replace(scene, has_textures=False,
+                                tex_slots=(False,) * 5)
+        _cfg_nn = _dc.replace(cfg, nee=False)
+
+        @jax.jit
+        def shade_notex(origin, direction, acc, mask, alive, seed,
+                        bounce, t, obj, tri, prev_pdf):
+            return shade_step(_scene_nt, cfg, origin, direction, acc,
+                              mask, alive, seed, bounce, t, obj, tri,
+                              prev_pdf=prev_pdf, isect=isect, rand=rand,
+                              cm=cm)
+
+        @jax.jit
+        def shade_nonee(origin, direction, acc, mask, alive, seed,
+                        bounce, t, obj, tri, prev_pdf):
+            return shade_step(scene, _cfg_nn, origin, direction, acc,
+                              mask, alive, seed, bounce, t, obj, tri,
+                              prev_pdf=prev_pdf, isect=isect, rand=rand,
+                              cm=cm)
+
+        @jax.jit
+        def shade_base(origin, direction, acc, mask, alive, seed,
+                       bounce, t, obj, tri, prev_pdf):
+            return shade_step(_scene_nt, _cfg_nn, origin, direction,
+                              acc, mask, alive, seed, bounce, t, obj,
+                              tri, prev_pdf=prev_pdf, isect=isect,
+                              rand=rand, cm=cm)
+
     flush_cap = min(p, 1 << 18)
     use_bins = (cfg.flush_bins and jax.default_backend() == "tpu"
                 and npix < (1 << 24))
@@ -425,6 +460,16 @@ def main():
             dtk, _ = timed(kern, rows)
             print(f"    shade split: gathers {dtg*1e3:5.1f}  "
                   f"rows {dtr*1e3:5.1f}  kernel {dtk*1e3:5.1f}",
+                  flush=True)
+
+        if args.shade_split and (cfg.nee or scene.has_textures):
+            sargs = (origin, direction, acc, mask, alive, seed, bounce,
+                     t, obj, tri, prev_pdf)
+            dt_nt, _ = timed(shade_notex, *sargs)
+            dt_nn, _ = timed(shade_nonee, *sargs)
+            dt_b, _ = timed(shade_base, *sargs)
+            print(f"    shade ablations: notex {dt_nt*1e3:5.1f}  "
+                  f"nonee {dt_nn*1e3:5.1f}  base {dt_b*1e3:5.1f}",
                   flush=True)
 
         shaded_alive = alive
