@@ -110,6 +110,15 @@ class RenderConfig:
                                   # lists) instead of all clusters with
                                   # an in-kernel skip; parked/retired
                                   # tiles cost zero cluster steps
+    compact_fruspre: bool = False  # worklist prepass uses the per-TILE
+                                  # interval-arithmetic frustum mask
+                                  # (ops/frustum.py, O(tiles x C))
+                                  # instead of the per-ray world slab
+                                  # (O(rays x C)); bit-identical hits
+                                  # (superset fired sets, exact in-
+                                  # kernel slab gate, stable identical
+                                  # front-to-back key) — A/B knob,
+                                  # round 4
     stream_tile: int = 4096       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data;

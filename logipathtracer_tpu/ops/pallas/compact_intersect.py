@@ -640,7 +640,17 @@ def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
         tuple(a.reshape(nblk, block) for a in
               (ox, oy, oz, inv_x, inv_y, inv_z, best0)))   # [B, NC, T/B]
     fired = fired.transpose(0, 2, 1).reshape(tiles, -1)    # [T, NC] bool
+    return _order_fired(fired, chunk_min, chunk_max, rays8, tile)
 
+
+def _order_fired(fired, chunk_min, chunk_max, rays8, tile: int):
+    """Shared worklist tail: order each tile's fired chunks/clusters
+    front-to-back along the tile's mean direction.  Stable argsort over
+    an identical key => any two clusters fired by BOTH prepasses keep
+    their relative visit order, which is what bit-identity needs."""
+    r = rays8.shape[1]
+    tiles = r // tile
+    dx, dy, dz = rays8[3], rays8[4], rays8[5]
     centroid = 0.5 * (chunk_min + chunk_max)              # [NC, 3]
     mean_dir = jnp.stack(
         [dx.reshape(tiles, tile).mean(axis=1),
@@ -653,6 +663,25 @@ def build_chunk_worklists(chunk_min, chunk_max, rays8, tile: int,
     wl = jnp.argsort(key, axis=1).astype(jnp.int32)       # [T, NC]
     wn = jnp.sum(fired.astype(jnp.int32), axis=1)         # [T]
     return wl, wn
+
+
+def build_frustum_worklists(cluster_min, cluster_max, rays8, tile: int,
+                            has_tmax: bool = False):
+    """Frustum-prepass twin of build_chunk_worklists: the fired set is
+    the per-TILE interval-arithmetic mask (ops/frustum.py) instead of
+    the per-ray slab — O(tiles x C) prepass work instead of O(rays x
+    C).  The mask is a proven superset of the per-ray fired set
+    (tests/test_worklist.py), the in-kernel exact slab gates every
+    update, and _order_fired's stable identical key preserves the
+    relative visit order of commonly-fired clusters, so hits are
+    bit-identical to the per-ray prepass; the extra conservative
+    visits fire no updates (noupd == floor0, ROADMAP round 4)."""
+    from logipathtracer_tpu.ops.frustum import frustum_cluster_mask
+
+    best_hint = rays8[6] if has_tmax else None
+    fired = frustum_cluster_mask(rays8, cluster_min, cluster_max, tile,
+                                 best_hint=best_hint)
+    return _order_fired(fired, cluster_min, cluster_max, rays8, tile)
 
 
 @functools.partial(jax.jit,
@@ -828,8 +857,12 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     ]
 
     if worklist:
-        wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
-                                       has_tmax=has_tmax)
+        if "fruspre" in variant:
+            wl, wn = build_frustum_worklists(wmin, wmax, rays8, tile,
+                                             has_tmax=has_tmax)
+        else:
+            wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
+                                           has_tmax=has_tmax)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # (wl, wn)
             grid=grid,

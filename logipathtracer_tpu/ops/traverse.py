@@ -169,7 +169,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           t_max=None, cap: int = 128,
                           worklist: bool = False,
                           fill_fast: bool = False, cm: bool = False,
-                          any_hit: bool = False):
+                          any_hit: bool = False, variant: str = ""):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -196,7 +196,8 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
             fill_fast=fill_fast,
-            any_hit=any_hit and t_max is not None)
+            any_hit=any_hit and t_max is not None,
+            variant=variant)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,

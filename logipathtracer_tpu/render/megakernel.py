@@ -150,7 +150,8 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
                 s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
                 t_max=t_max, cap=cfg.compact_cap,
                 worklist=cfg.compact_worklist,
-                fill_fast=cfg.fill_fast, cm=cm, any_hit=any_hit)
+                fill_fast=cfg.fill_fast, cm=cm, any_hit=any_hit,
+                variant="fruspre" if cfg.compact_fruspre else "")
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None, any_hit=False: \
             intersect_scene_sweep(

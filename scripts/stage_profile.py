@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--no-worklist", action="store_true",
                     help="resident compact sweep: octant order over all "
                          "clusters instead of per-tile fired lists")
+    ap.add_argument("--fruspre", action="store_true",
+                    help="worklist prepass via the per-tile frustum "
+                         "mask (cfg.compact_fruspre; bit-identical, "
+                         "O(tiles x C) instead of O(rays x C))")
     ap.add_argument("--fill-fast", action="store_true",
                     help="compact sweep: approx-reciprocal local-ray "
                          "fill (probe; wrong by <=1 ulp on slab culls)")
@@ -76,6 +80,7 @@ def main():
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        shade=args.shade, nee=args.nee,
                        compact_worklist=not args.no_worklist,
+                       compact_fruspre=args.fruspre,
                        fill_fast=args.fill_fast,
                        sort_variadic=not args.no_sort_variadic,
                        pool_cm=args.cm)

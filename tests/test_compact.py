@@ -43,11 +43,15 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, worklist):
     assert (tie | ~diff).all()
 
 
-@pytest.mark.parametrize("variant", ["presplit"])
+@pytest.mark.parametrize("variant", ["presplit", "fruspre"])
 def test_compact_variants_bit_identical(cornell_scene, rng, variant):
     """Round-4 CORRECT-results kernel variants must be BIT-identical to
     the baseline: 'presplit' (per-object hoisted _split3 — the same
-    values read from scratch instead of recomputed per cluster).
+    values read from scratch instead of recomputed per cluster) and
+    'fruspre' (worklist prepass via the per-tile frustum mask — a
+    superset fired set whose extra clusters fail the in-kernel slab,
+    with the stable identical front-to-back key preserving the visit
+    order of commonly-fired clusters).
     (A 16-bit one-hot compare variant was killed in round 4: Mosaic on
     v5e rejects bf16 AND int16 vector compares.)"""
     from logipathtracer_tpu.ops.pallas.compact_intersect import \
@@ -56,19 +60,25 @@ def test_compact_variants_bit_identical(cornell_scene, rng, variant):
     o, d = _rays(s, 1024, rng)
     rays8 = jnp.zeros((8, 1024), jnp.float32)
     rays8 = rays8.at[0:3].set(o.T).at[3:6].set(jnp.asarray(d).T)
+    # A t_max variant exercises the frustum prepass's per-tile t cap.
+    rays8_tmax = rays8.at[6].set(
+        jnp.asarray(rng.uniform(0.1, 3.0, 1024).astype(np.float32)))
     inv_rows = s.obj_world_inv[:, :3, :4].reshape(s.num_objects, 12)
 
-    def run(v, worklist=False):
+    def run(v, worklist=False, r8=rays8, has_tmax=False):
         return cluster_intersect_compact(
             s.cl_meta, inv_rows, s.cl_order, s.cl_aabb, s.cl_tris,
-            rays8, tile=1024, cap=128, interpret=True, worklist=worklist,
-            obj_world=s.obj_world if worklist else None, variant=v)
+            r8, tile=1024, cap=128, interpret=True, worklist=worklist,
+            obj_world=s.obj_world if worklist else None, variant=v,
+            has_tmax=has_tmax)
 
-    for wl in (False, True):
-        base = run("", wl)
-        got = run(variant, wl)
-        for a, b in zip(base, got):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    worklists = (True,) if variant == "fruspre" else (False, True)
+    for wl in worklists:
+        for r8, ht in ((rays8, False), (rays8_tmax, True)):
+            base = run("", wl, r8, ht)
+            got = run(variant, wl, r8, ht)
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("worklist", [False, True])
