@@ -122,6 +122,40 @@ def test_frustum_mask_all_parked_tile():
     assert not mask.any()
 
 
+def test_frustum_worklists_superset_and_order(rng, boxes):
+    """build_frustum_worklists (the fruspre prepass) vs the per-ray
+    build_chunk_worklists: fired sets must be supersets per tile, and
+    commonly-fired clusters must keep their relative front-to-back
+    order (the stable-identical-key bit-identity argument)."""
+    from logipathtracer_tpu.ops.pallas.compact_intersect import \
+        build_frustum_worklists
+    cmin, cmax = boxes
+    r, tile = 512, 128
+    o = rng.uniform(-12, 12, (r, 3)).astype(np.float32)
+    d = rng.standard_normal((r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # Octant-pure tiles (the production shape after the ray sort).
+    octant = (d[:, 0] > 0) * 4 + (d[:, 1] > 0) * 2 + (d[:, 2] > 0)
+    order = np.argsort(octant, kind="stable")
+    o, d = o[order], d[order]
+    tmax = rng.uniform(0.5, 30.0, r).astype(np.float32)
+
+    for r8, ht in ((_rays8(o, d), False), (_rays8(o, d, tmax), True)):
+        wl_r, wn_r = build_chunk_worklists(
+            jnp.asarray(cmin), jnp.asarray(cmax), r8, tile, has_tmax=ht)
+        wl_f, wn_f = build_frustum_worklists(
+            jnp.asarray(cmin), jnp.asarray(cmax), r8, tile, has_tmax=ht)
+        wl_r, wn_r = np.asarray(wl_r), np.asarray(wn_r)
+        wl_f, wn_f = np.asarray(wl_f), np.asarray(wn_f)
+        for t in range(r // tile):
+            ray_set = wl_r[t, :wn_r[t]].tolist()
+            fru_list = wl_f[t, :wn_f[t]].tolist()
+            assert set(ray_set) <= set(fru_list), (t, ray_set, fru_list)
+            # Relative order of the common clusters is preserved.
+            common_in_fru = [c for c in fru_list if c in set(ray_set)]
+            assert common_in_fru == ray_set, (t, ray_set, fru_list)
+
+
 def test_worklists_front_to_back(rng, boxes):
     """Within a tile, listed chunks are ordered by mean-direction
     projection of their centroids (ascending = near first for rays
