@@ -9,6 +9,10 @@ with a real flag surface:
             half-blocks) with the reference's key bindings
             (src/Main.cpp:57-93): WASD/QE translate, IJKL/UO rotate;
             camera motion resets accumulation.
+  web     — the same progressive session served to a browser tab over
+            a stdlib HTTP server (cli/webview.py) — the headless-host
+            analog of the reference's swapchain window
+            (src/RendererCore.cpp:373-412), same key bindings.
 """
 
 from __future__ import annotations
@@ -244,6 +248,11 @@ def cmd_view(args) -> int:
         sys.stdout.write("\x1b[0m\n")
 
 
+def cmd_web(args) -> int:
+    from logipathtracer_tpu.cli.webview import serve
+    return serve(args, _build)
+
+
 def cmd_compare(args) -> int:
     from logipathtracer_tpu.film.image import rmse
     a = np.load(args.a)["radiance"]
@@ -286,6 +295,23 @@ def main(argv=None) -> int:
     pv.add_argument("--orbit", type=float, default=0.0,
                     help="with --frames: rotate camera per frame (rad)")
     pv.set_defaults(fn=cmd_view)
+
+    pw = sub.add_parser("web", help="browser-based progressive viewer "
+                                    "(stdlib HTTP server; the headless-"
+                                    "host analog of the reference's "
+                                    "swapchain window)")
+    _add_common(pw)
+    pw.add_argument("--host", default="127.0.0.1")
+    pw.add_argument("--port", type=int, default=8642,
+                    help="TCP port (0 = ephemeral, see --port-file)")
+    pw.add_argument("--port-file", default=None,
+                    help="write the bound port here once listening")
+    pw.add_argument("--frames", type=int, default=0,
+                    help="render N frames then exit (0 = until 'x')")
+    pw.add_argument("--linger", type=float, default=0.0,
+                    help="with --frames: keep serving this many seconds "
+                         "after the last frame (screenshot window)")
+    pw.set_defaults(fn=cmd_web)
 
     pc = sub.add_parser("compare",
                         help="per-pixel RMSE between two radiance .npz "

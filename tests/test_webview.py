@@ -1,0 +1,127 @@
+"""Web viewer (cli/webview.py): HTTP routes, key -> camera plumbing,
+and quit, driven against a stub renderer so no render graph compiles.
+The real end-to-end surface (serve + progressive cornell frames) is a
+/verify drive: `python -m logipathtracer_tpu.cli.main web <scene>
+--frames N --port 0 --port-file P` then GET /frame.png."""
+
+import json
+import threading
+import time
+import types
+import urllib.request
+
+import numpy as np
+import pytest
+
+from logipathtracer_tpu.cli.webview import serve
+from logipathtracer_tpu.film.png import decode_png
+
+
+class StubRenderer:
+    def __init__(self):
+        self.sample_count = 0
+        self.moves = []
+        self.rots = []
+
+    def step(self, n=1):
+        time.sleep(0.01)
+        self.sample_count += n
+
+    def image(self):
+        v = min(self.sample_count * 8, 255) / 255.0
+        img = np.full((16, 16, 3), v, np.float32)
+        return img
+
+    def samples_per_sec(self):
+        return float(self.sample_count)
+
+    def mrays_per_sec(self):
+        return 0.5
+
+    def translate(self, axis, amount):
+        self.moves.append((axis, amount))
+        self.sample_count = 0  # motion resets accumulation
+
+    def rotate(self, axis, angle):
+        self.rots.append((axis, angle))
+        self.sample_count = 0
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.read()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body.encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return r.read()
+
+
+@pytest.fixture
+def viewer(tmp_path):
+    stub = StubRenderer()
+    port_file = tmp_path / "port"
+    args = types.SimpleNamespace(host="127.0.0.1", port=0,
+                                 port_file=str(port_file), frames=0,
+                                 linger=0.0)
+    rc = {}
+
+    def build(a):
+        time.sleep(0.05)  # exercise the async-load phase
+        return None, None, stub
+
+    t = threading.Thread(target=lambda: rc.setdefault(
+        "rc", serve(args, build)), daemon=True)
+    t.start()
+    for _ in range(100):
+        if port_file.exists() and port_file.read_text():
+            break
+        time.sleep(0.05)
+    base = f"http://127.0.0.1:{port_file.read_text()}"
+    yield base, stub, t, rc
+    try:
+        _post(base + "/key", "x")
+    except OSError:
+        pass  # test already quit the server
+    t.join(timeout=10)
+
+
+def test_webview_routes_and_keys(viewer):
+    base, stub, t, rc = viewer
+    page = _get(base + "/").decode()
+    assert "frame.png" in page and "keydown" in page
+
+    # Wait until the render loop has produced frames.
+    for _ in range(100):
+        stats = json.loads(_get(base + "/stats"))
+        if not stats["compiling"] and stats["spp"] > 2:
+            break
+        time.sleep(0.05)
+    assert not stats["compiling"] and stats["spp"] > 2
+    assert stats["mrays_per_sec"] == 0.5
+
+    img = decode_png(_get(base + "/frame.png"))
+    assert img.shape[:2] == (16, 16)
+    assert img[..., :3].max() > 0
+
+    # Keys: translate + rotate reach the renderer and reset spp.
+    _post(base + "/key", "w")
+    _post(base + "/key", "j")
+    for _ in range(100):
+        if stub.moves and stub.rots:
+            break
+        time.sleep(0.05)
+    assert stub.moves == [(2, -0.05)]
+    assert stub.rots == [(1, 0.02)]
+
+    # Unknown routes 404; junk keys are ignored.
+    with pytest.raises(Exception):
+        _get(base + "/nope")
+    _post(base + "/key", "z")
+
+    # 'x' quits: serve() returns 0 and the loop stops.
+    _post(base + "/key", "x")
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert rc["rc"] == 0
