@@ -58,6 +58,21 @@ class RenderConfig:
     # (constant per-segment spread; see render/megakernel.py tap()).
     mip_levels: int = 1           # 1 = LOD 0 only (reference parity)
     mip_spread: float = 0.001     # cone spread (radians-ish per unit t)
+    tex_quad: bool = True         # pack each texel's 2x2 bilinear
+                                  # neighborhood as ONE 4-col u32 atlas
+                                  # row (scene compile) so a tap is one
+                                  # wide row gather instead of four
+                                  # narrow ones (gathers price per ROW
+                                  # per OP; shade_gather_probe).  Auto-
+                                  # disabled for MIRROR wraps, f32
+                                  # atlases, and atlases > 16M texels
+                                  # (quad = 16 B/texel of HBM).
+                                  # Sampler output is bit-identical
+                                  # (tests/test_textures.py); inside a
+                                  # jit graph XLA forms FMAs
+                                  # differently around the two
+                                  # fetch shapes, so full renders can
+                                  # differ by ~1 ulp of radiance.
 
     # BVH build knobs (ours; the reference delegates to lsg's SBVH).
     bvh_leaf_size: int = 4        # max triangles per mesh-BVH leaf

@@ -316,10 +316,11 @@ def _resolve_tex_prologue(scene, cfg: RenderConfig, origin, direction, t,
             s = sample_atlas_lod(
                 scene.tex_atlas, scene.tex_table, scene.tex_mip_base,
                 scene.tex_mip_count, tid, uv, lod,
-                nearest_aware=scene.has_nearest)
+                nearest_aware=scene.has_nearest, quad=scene.tex_quad)
         else:
             s = sample_atlas(scene.tex_atlas, scene.tex_table, tid, uv,
-                             nearest_aware=scene.has_nearest)
+                             nearest_aware=scene.has_nearest,
+                             quad=scene.tex_quad)
         return (tid >= 0), s
 
     # Statically skip slots NO object textures (scene.tex_slots): each
@@ -599,10 +600,13 @@ def shade_step(scene, cfg: RenderConfig, origin, direction, acc, mask,
                 lod = jnp.log2(jnp.maximum(footprint, 1.0))
                 s = sample_atlas_lod(
                     scene.tex_atlas, scene.tex_table, scene.tex_mip_base,
-                    scene.tex_mip_count, tid, uv, lod)
+                    scene.tex_mip_count, tid, uv, lod,
+                    nearest_aware=scene.has_nearest,
+                    quad=scene.tex_quad)
             else:
                 s = sample_atlas(scene.tex_atlas, scene.tex_table, tid,
-                                 uv)
+                                 uv, nearest_aware=scene.has_nearest,
+                                 quad=scene.tex_quad)
             return (tid >= 0), s
         # Statically skip slots NO object textures (scene.tex_slots;
         # mirrors _resolve_tex_prologue's specialization).

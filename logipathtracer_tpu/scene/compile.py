@@ -181,6 +181,9 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     tex_atlas, tex_table, tex_mip_base, tex_mip_count = _pack_textures(
         gltf, cfg.mip_levels)
+    tex_quad = (_build_quad_atlas(tex_atlas, tex_table)
+                if getattr(cfg, "tex_quad", True) and gltf.textures
+                else None)
 
     # Emissive-triangle table rows were collected pre-BVH in the main
     # loop above (one row per source triangle, SBVH-duplication-proof).
@@ -319,6 +322,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         tex_table=tex_table,
         tex_mip_base=tex_mip_base,
         tex_mip_count=tex_mip_count,
+        tex_quad=tex_quad,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
@@ -561,3 +565,48 @@ def _pack_textures(gltf: Gltf, mip_levels: int = 1):
         # [AH, AW] u32: r | g<<8 | b<<16 | a<<24 (little-endian view).
         atlas = np.ascontiguousarray(atlas).view(np.uint32)[:, :, 0]
     return atlas, table, mip_base, mip_count
+
+
+# Quad atlas gates: MIRROR wraps reverse direction under reflection
+# (a per-texel packed neighbor cannot encode that), and the 16 B/texel
+# quad layout is capped to keep HBM use bounded on texture-heavy
+# scenes (16M texels = 256 MB of quad rows).
+_QUAD_WRAPS_OK = (10497, 33071)  # REPEAT, CLAMP_TO_EDGE
+_QUAD_MAX_TEXELS = 16 * 1024 * 1024
+
+
+def _build_quad_atlas(atlas, table):
+    """[AH, AW, 4] u32 quad atlas: row (y, x) = the texel and its
+    +x / +y / +x+y bilinear neighbors with the owning texture's wrap
+    applied at pack time.
+
+    A bilinear tap then needs ONE 4-col row gather instead of four
+    1-col gathers (ops/texture.py::_bilinear); XLA row gathers pay a
+    ~5-8 ns/row pipeline floor PER GATHER OP while extra columns ride
+    free (measured, scripts/shade_gather_probe.py — this was ~3/4 of
+    the 46 ms/Mray textured-shade wall).  The reference needs nothing
+    like this: Vulkan samplers filter in fixed-function hardware
+    (shaders/path_tracing.comp:244-261).
+
+    Returns None (callers fall back to the 4-gather path) for f32
+    atlases (mip chains / non-u8 sources), MIRROR wraps, or atlases
+    over the texel cap.
+    """
+    if atlas.ndim != 2 or atlas.dtype != np.uint32:
+        return None
+    if atlas.size > _QUAD_MAX_TEXELS:
+        return None
+    if not all(int(r[4]) in _QUAD_WRAPS_OK and int(r[5]) in _QUAD_WRAPS_OK
+               for r in table):
+        return None
+    quad = np.repeat(atlas[:, :, None], 4, axis=2)
+    for x0, y0, w, h, ws, wt, *_ in np.asarray(table, np.int64):
+        xs = np.arange(w)
+        ys = np.arange(h)
+        xn = (xs + 1) % w if ws == 10497 else np.minimum(xs + 1, w - 1)
+        yn = (ys + 1) % h if wt == 10497 else np.minimum(ys + 1, h - 1)
+        sub = atlas[y0:y0 + h, x0:x0 + w]
+        quad[y0:y0 + h, x0:x0 + w, 1] = sub[:, xn]
+        quad[y0:y0 + h, x0:x0 + w, 2] = sub[yn, :]
+        quad[y0:y0 + h, x0:x0 + w, 3] = sub[np.ix_(yn, xn)]
+    return quad

@@ -131,6 +131,14 @@ class SceneSoA:
                           #              area(1) pad(3); world space
     light_cdf: Any        # [L] f32 cumulative area / total_area
 
+    tex_quad: Any = None  # [AH, AW, 4] u32 quad atlas (each texel's
+                          # 2x2 bilinear neighborhood, wrap applied at
+                          # pack time) — ONE wide row gather per tap
+                          # instead of four narrow ones; None = use
+                          # the 4-gather path (f32 atlas, MIRROR
+                          # wraps, or over the texel cap).  See
+                          # scene/compile.py::_build_quad_atlas.
+
     # Static metadata (aux_data, not traced).
     num_objects: int = 0
     num_triangles: int = 0
@@ -171,7 +179,7 @@ class SceneSoA:
         "tex_atlas", "tex_table", "tex_mip_base", "tex_mip_count",
         "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
-        "light_tris", "light_cdf",
+        "light_tris", "light_cdf", "tex_quad",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
                       "leaf_width", "has_textures", "tex_slots",

@@ -104,8 +104,9 @@ def test_shade_kernel_nee_matches_jnp(cornell_scene, mis):
         np.random.default_rng(5).integers(0, 8, n), jnp.int32)
     from logipathtracer_tpu.ops.traverse import intersect_scene
 
-    def isect(s, o, d, eps, t_max=None):
-        return intersect_scene(s, o, d, eps=eps, t_max=t_max)
+    def isect(s, o, d, eps, t_max=None, any_hit=False):
+        return intersect_scene(s, o, d, eps=eps, t_max=t_max,
+                               any_hit=any_hit)
 
     outs = {}
     for mode in ("jnp", "shade_interpret"):

@@ -220,3 +220,66 @@ def test_scene_has_nearest_flag():
     gltf.textures[0].mag_filter = 9729
     scene2 = cs(gltf, RenderConfig(width=8, height=8))
     assert not scene2.has_nearest
+
+
+def test_quad_atlas_bit_identical():
+    """The quad-atlas tap (ONE 4-col row gather per bilinear sample,
+    scene/compile.py::_build_quad_atlas) is bit-identical to the
+    4-gather path for REPEAT and CLAMP wraps — including sample points
+    outside [0, 1] and past the clamp edges, where the quad path
+    substitutes corners (not weights) to reproduce the 4-gather blend
+    arithmetic exactly."""
+    from logipathtracer_tpu.scene.compile import _build_quad_atlas
+
+    rng = np.random.default_rng(7)
+    atlas8 = rng.integers(0, 256, (16, 136, 4), np.uint8).astype(np.uint8)
+    atlas = np.ascontiguousarray(atlas8).view(np.uint32)[:, :, 0]
+    # Entry 0: repeat x repeat; entry 1: clamp x clamp; entry 2: mixed,
+    # non-power-of-two size.
+    table = np.array([[0, 0, 8, 8, 10497, 10497, 0, 0],
+                      [8, 0, 8, 8, 33071, 33071, 0, 0],
+                      [16, 0, 7, 5, 10497, 33071, 0, 0]], np.int32)
+    quad = _build_quad_atlas(atlas, table)
+    assert quad is not None and quad.shape == (16, 136, 4)
+
+    n = 512
+    uv = jnp.asarray(rng.uniform(-2.5, 3.5, (n, 2)).astype(np.float32))
+    # Hit the exact edges too (ix = -1 / 0 / w-1 cases).
+    uv = uv.at[:8].set(jnp.asarray(
+        [[0.0, 0.0], [1.0, 1.0], [-0.01, 0.5], [0.5, -0.01],
+         [0.999, 0.5], [0.0625, 0.0625], [-1.0, 2.0], [2.0, -1.0]],
+        jnp.float32))
+    tid = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    a = jnp.asarray(atlas)
+    t = jnp.asarray(table)
+    ref = np.asarray(sample_atlas(a, t, tid, uv))
+    out = np.asarray(sample_atlas(a, t, tid, uv, quad=jnp.asarray(quad)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_quad_atlas_gates():
+    """MIRROR wraps, f32 atlases, and oversized atlases disable the
+    quad layout (samplers fall back to the 4-gather path)."""
+    from logipathtracer_tpu.scene import compile as sc
+
+    atlas = np.zeros((4, 8), np.uint32)
+    mirror = np.array([[0, 0, 4, 4, 33648, 10497, 0, 0]], np.int32)
+    assert sc._build_quad_atlas(atlas, mirror) is None
+    f32 = np.zeros((4, 8, 4), np.float32)
+    ok = np.array([[0, 0, 4, 4, 10497, 10497, 0, 0]], np.int32)
+    assert sc._build_quad_atlas(f32, ok) is None
+    assert sc._build_quad_atlas(atlas, ok) is not None
+
+
+def test_scene_tex_quad_compiled():
+    """compile_scene builds the quad atlas for packed repeat/clamp
+    scenes and honors cfg.tex_quad=False."""
+    gltf = _textured_scene()
+    scene = compile_scene(gltf, RenderConfig(width=8, height=8))
+    assert scene.tex_quad is not None
+    assert scene.tex_quad.dtype == jnp.uint32 or \
+        scene.tex_quad.dtype == np.uint32
+    assert scene.tex_quad.shape == (*scene.tex_atlas.shape, 4)
+    off = compile_scene(gltf, RenderConfig(width=8, height=8,
+                                           tex_quad=False))
+    assert off.tex_quad is None
