@@ -155,6 +155,20 @@ class RenderConfig:
                                   # with dynamic trip counts + manual
                                   # double-buffered chunk DMAs) instead
                                   # of the (tiles x chunks) grid
+    stream_granularity: str = "cluster"
+                                  # worklist cull granularity:
+                                  # "cluster" = per-tile fired-CLUSTER
+                                  # lists from the interval frustum
+                                  # mask, one 32 KB block DMA per
+                                  # visit (ops/pallas/stream_cluster);
+                                  # "chunk" = 16-cluster chunk lists
+                                  # (compact_intersect worklist).
+                                  # Hit-identical up to cross-cluster
+                                  # near-ties (sweep order); cluster
+                                  # measured >= chunk everywhere on
+                                  # the outside dumps, +15% primaries
+                                  # (queue 19, scripts/
+                                  # cluster_wl_probe.py)
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp

@@ -250,6 +250,28 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
     return t[:r], obj[:r], tri[:r]
 
 
+def intersect_scene_cluster_wl(scene, origin, direction, eps: float = 1e-4,
+                               tile: int = 4096, t_max=None, cap: int = 32,
+                               cm: bool = False, any_hit: bool = False,
+                               nbuf: int = 4, chunk_gate: int = 0):
+    """Closest hit via the cluster-granular worklist stream sweep
+    (ops/pallas/stream_cluster.py) — the TPU production path for
+    beyond-VMEM scenes (cfg.stream_granularity="cluster").  Same
+    contract as intersect_scene_stream; TPU-only (manual-DMA loop)."""
+    from logipathtracer_tpu.ops.pallas.stream_cluster import \
+        cluster_intersect_stream_cl
+
+    rays8, r = _pack_rays8(origin, direction, tile, t_max, cm)
+    inv_rows = scene.obj_world_inv[:, :3, :4].reshape(scene.num_objects, 12)
+    t, tri, obj = cluster_intersect_stream_cl(
+        scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
+        scene.obj_world, rays8, tile=tile, eps=eps,
+        has_tmax=t_max is not None, cap=cap,
+        any_hit=any_hit and t_max is not None, nbuf=nbuf,
+        chunk_gate=chunk_gate)
+    return t[:r], obj[:r], tri[:r]
+
+
 def intersect_bruteforce(scene, origin, direction, eps: float = 1e-4,
                          chunk: int = 4096):
     """Oracle: test every triangle of every object (no BVH).

@@ -161,9 +161,16 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
         backend = "interpret" if mode == "stream_interpret" else "pallas"
         cap = cfg.stream_cap if cfg.stream_compact else 0
         if (mode == "stream" and cfg.stream_worklist and cap > 0):
-            # Worklist-driven stream kernel: TPU-only (manual DMA has no
-            # interpret support); the grid-based kernel stays the
+            # Worklist-driven stream kernels: TPU-only (manual DMA has
+            # no interpret support); the grid-based kernel stays the
             # interpret/CPU twin and the cap=0 fallback.
+            if cfg.stream_granularity == "cluster":
+                from logipathtracer_tpu.ops.traverse import \
+                    intersect_scene_cluster_wl
+                return lambda s, o, d, eps, t_max=None, any_hit=False: \
+                    intersect_scene_cluster_wl(
+                        s, o, d, eps=eps, tile=cfg.stream_tile,
+                        t_max=t_max, cap=cap, cm=cm, any_hit=any_hit)
             from logipathtracer_tpu.ops.traverse import \
                 intersect_scene_worklist
             return lambda s, o, d, eps, t_max=None, any_hit=False: \
