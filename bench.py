@@ -6,6 +6,17 @@ Headline metric: Mrays/sec/chip on cornell_box (the BASELINE.json
 north star, target >= 100).  vs_baseline = value / 100.  Also reports
 samples/sec at the benchmark resolution in the extras field (the only
 quantity the reference itself measures, src/RendererPT.cpp:599-605).
+
+Process structure: the top-level invocation is a thin orchestrator
+that never imports jax; each measurement stage (headline cornell,
+outside-class, nee+textured) runs in its OWN subprocess, sequentially
+(the TPU chip is exclusive — two concurrent processes die with
+FAILED_PRECONDITION).  Fresh processes are the only reliable
+measurement condition for the dispatch-heavy extras: leaving the
+cornell session's 1M-lane pool + executables resident depresses the
+outside-class number ~3x (0.78-0.79 in-process vs 1.9-2.75 fresh,
+measured rounds 3 AND 4 — the round-3 del+gc mitigation stopped
+working once the occupancy ladder added more resident executables).
 """
 
 from __future__ import annotations
@@ -13,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -80,31 +92,21 @@ def _scene_mrays(gltf, cfg, samples: int = 4, host_seed: int = 0,
     return best
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true",
-                    help="small config for smoke testing")
-    ap.add_argument("--width", type=int, default=None)
-    ap.add_argument("--height", type=int, default=None)
-    ap.add_argument("--samples", type=int, default=None,
-                    help="timed samples")
-    ap.add_argument("--scene", default="/root/reference/resources/cornell_box.gltf")
-    ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args(argv)
+def _init_jax(cpu: bool):
+    """Scrub cache-key env pieces, import jax, wire the compile cache.
 
-    # Normalize the env pieces XLA folds into the persistent-cache key
-    # BEFORE importing jax: the driver may invoke bench.py with
-    # XLA_FLAGS left over from the multichip dryrun (or libtpu override
-    # vars), and any difference vs the pre-warm run's env misses every
-    # cache entry — the suspected cause of the round-2 bench paying
-    # 613 s of warmup against a warm cache (VERDICT r2, weak item 2).
-    # Bench semantics do not depend on these flags.
+    Must run BEFORE importing jax: the driver may invoke bench.py with
+    XLA_FLAGS left over from the multichip dryrun (or libtpu override
+    vars), and any difference vs the pre-warm run's env misses every
+    persistent-cache entry — the cause of the round-2 bench paying
+    613 s of warmup against a warm cache (VERDICT r2, weak item 2).
+    """
     for var in ("XLA_FLAGS", "AXON_LIBTPU_OVERRIDES", "LIBTPU_INIT_ARGS"):
         os.environ.pop(var, None)
 
     import jax
 
-    if args.cpu:
+    if cpu:
         jax.config.update("jax_platforms", "cpu")
 
     # Persistent XLA compile cache (TPU runs only): remote TPU AOT
@@ -115,7 +117,13 @@ def main(argv=None) -> int:
     from logipathtracer_tpu.utils.cache import configure_compile_cache
     configure_compile_cache(
         jax, os.path.join(os.path.dirname(__file__) or ".",
-                          "tests", ".jax_cache"), cpu=args.cpu)
+                          "tests", ".jax_cache"), cpu=cpu)
+    return jax
+
+
+def stage_headline(args) -> dict:
+    """Cornell end-to-end + the intersect-only ray-query workload."""
+    jax = _init_jax(args.cpu)
 
     width = args.width or (128 if args.quick else 1024)
     height = args.height or (128 if args.quick else 1024)
@@ -156,20 +164,121 @@ def main(argv=None) -> int:
     # number, no shading attached.
     rq_mrays = _ray_query_mrays(scene, cfg)
 
-    # Free the cornell session's device state before the extra scenes:
-    # leaving the 1M-lane pool + executables resident measurably
-    # depresses the extras (outside-class 0.78 in-process vs 1.9-2.1 in
-    # a fresh process, measured round 3).
-    del r, scene
-    import gc
-    gc.collect()
+    return {
+        "mrays": round(mrays, 3),
+        "ray_query_mrays_per_sec": round(rq_mrays, 1),
+        "ray_query_ceiling_frac": round(rq_mrays / 43.0, 3),
+        "device": str(jax.devices()[0]),
+        "resolution": f"{width}x{height}",
+        "spp_timed": samples,
+        "samples_per_sec": round(spp_per_sec, 4),
+        "rays_per_sample": round(rays_per_sample, 1),
+        "scene_compile_s": round(compile_s, 2),
+        "xla_warmup_s": round(warmup_s, 2),
+        "mean_radiance": mean_radiance,
+    }
 
-    # Round-3 tracked extras (skipped by --quick):
-    #  * outside-class multi-object scene (BASELINE config 3 stand-in:
-    #    51 meshes / 49 materials / ~394k tris, streamed clusters),
-    #  * textured + NEE box (BASELINE config 5 stand-in) on the fused
-    #    shade kernel.
-    outside_mrays = nee_tex_mrays = None
+
+def stage_outside(args) -> dict:
+    """Outside-class multi-object scene (BASELINE config 3 stand-in:
+    51 meshes / 49 materials / ~394k tris, streamed clusters)."""
+    _init_jax(args.cpu)
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.scene.procedural import make_outside_scene
+
+    # 16-sample timed chunks: at 512^2 a 4-sample chunk equals the
+    # 1M-lane pool, so the whole measurement is pool fill + drain
+    # tail; 16 samples measures the steady state the progressive
+    # accumulation actually runs at.
+    return {"outside_class_mrays_per_sec": round(_scene_mrays(
+        make_outside_scene(),
+        RenderConfig(width=512, height=512, max_depth=10),
+        samples=16), 3)}
+
+
+def stage_nee_tex(args) -> dict:
+    """Textured + NEE box (BASELINE config 5 stand-in) on the fused
+    shade kernel."""
+    _init_jax(args.cpu)
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.scene.procedural import make_box_scene
+
+    return {"nee_textured_mrays_per_sec": round(_scene_mrays(
+        make_box_scene(spheres=6, subdiv=3, textured=True),
+        RenderConfig(width=512, height=512, max_depth=10, nee=True),
+        samples=16), 3)}
+
+
+STAGES = {
+    "headline": stage_headline,
+    "outside": stage_outside,
+    "nee_tex": stage_nee_tex,
+}
+
+
+def _run_stage_subprocess(stage: str, argv: list, timeout_s: int):
+    """Run one measurement stage in a fresh python process; return its
+    parsed JSON fragment (the last stdout line starting with '{')."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+           *argv]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout_s)
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"stage {stage} produced no JSON (exit {proc.returncode}); "
+        f"stdout tail: {proc.stdout.strip()[-300:]!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small config for smoke testing")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--samples", type=int, default=None,
+                    help="timed samples")
+    ap.add_argument("--scene", default="/root/reference/resources/cornell_box.gltf")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stage", choices=sorted(STAGES), default=None,
+                    help="internal: run ONE measurement stage inline "
+                         "and print its JSON fragment")
+    ap.add_argument("--inline", action="store_true",
+                    help="run everything in this process (no "
+                         "subprocesses; extras will read low — see "
+                         "module docstring)")
+    args = ap.parse_args(argv)
+
+    # Scrub the cache-key env pieces here too (the orchestrator never
+    # imports jax, but its subprocesses inherit the env — one key
+    # universe for every stage).
+    for var in ("XLA_FLAGS", "AXON_LIBTPU_OVERRIDES", "LIBTPU_INIT_ARGS"):
+        os.environ.pop(var, None)
+
+    if args.stage:
+        print(json.dumps(STAGES[args.stage](args)))
+        return 0
+
+    # Orchestrator: this process never imports jax, so each sequential
+    # stage subprocess gets the exclusive TPU chip and a fresh runtime.
+    passthrough = []
+    if args.quick:
+        passthrough.append("--quick")
+    if args.cpu:
+        passthrough.append("--cpu")
+    for flag in ("width", "height", "samples"):
+        v = getattr(args, flag)
+        if v is not None:
+            passthrough += [f"--{flag}", str(v)]
+    passthrough += ["--scene", args.scene]
+
+    if args.inline:
+        head = stage_headline(args)
+    else:
+        head = _run_stage_subprocess("headline", passthrough, 7200)
+
     # Idle-host guard (VERDICT r3): the dispatch-heavy extras are
     # host-load-sensitive — the outside-class number HALVES (3.05 ->
     # 1.39 Mrays/s, identical tree) under a concurrent pytest suite.
@@ -182,54 +291,78 @@ def main(argv=None) -> int:
               "extras (outside_class, nee_textured) are unreliable on "
               "a contended host; re-run idle for official numbers.",
               file=sys.stderr)
-    if not args.quick:
-        from logipathtracer_tpu.scene.procedural import (make_box_scene,
-                                                         make_outside_scene)
-        # 16-sample timed chunks: at 512^2 a 4-sample chunk equals the
-        # 1M-lane pool, so the whole measurement is pool fill + drain
-        # tail; 16 samples measures the steady state the progressive
-        # accumulation actually runs at (cornell times 16-spp chunks
-        # at 1024^2 for the same reason).
-        try:
-            outside_mrays = round(_scene_mrays(
-                make_outside_scene(),
-                RenderConfig(width=512, height=512, max_depth=10),
-                samples=16), 3)
-        except Exception as e:  # record, don't sink the headline metric
-            outside_mrays = f"error: {e}"[:200]
-        try:
-            nee_tex_mrays = round(_scene_mrays(
-                make_box_scene(spheres=6, subdiv=3, textured=True),
-                RenderConfig(width=512, height=512, max_depth=10,
-                             nee=True),
-                samples=16), 3)
-        except Exception as e:
-            nee_tex_mrays = f"error: {e}"[:200]
 
+    extras_frag = {}
+    if not args.quick:
+        for stage in ("outside", "nee_tex"):
+            try:
+                if args.inline:
+                    extras_frag.update(STAGES[stage](args))
+                else:
+                    extras_frag.update(_run_stage_subprocess(
+                        stage, passthrough, 3600))
+            except Exception as e:  # record, don't sink the headline
+                key = ("outside_class_mrays_per_sec" if stage == "outside"
+                       else "nee_textured_mrays_per_sec")
+                extras_frag[key] = f"error: {e}"[:200]
+
+    # Per-iteration production stage split (VERDICT r3 item 6): cornell
+    # 1024^2, 1M pool — makes each round's roofline arithmetic
+    # verifiable from the bench artifact instead of ROADMAP archaeology.
+    stage_split = isect_stage_mrays = None
+    if not args.quick:
+        try:
+            env = dict(os.environ)
+            if not args.cpu:
+                env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tests", ".jax_cache"))
+                env.setdefault(
+                    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+            prof = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "stage_profile.py"),
+                 "--iters", "6", "--json"]
+                + (["--cpu", "--res", "128", "--pool", "16384"]
+                   if args.cpu else []),
+                capture_output=True, text=True, timeout=3600, env=env)
+            for line in reversed(prof.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    stage_split = json.loads(line)
+                    break
+            if stage_split is not None:
+                isect_stage_mrays = stage_split.pop("isect_mrays")
+        except Exception as e:
+            stage_split = f"error: {e}"[:200]
+
+    mrays = head.pop("mrays")
     result = {
         "metric": "mrays_per_sec_chip_cornell",
-        "value": round(mrays, 3),
+        "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "extras": {
-            "ray_query_mrays_per_sec": round(rq_mrays, 1),
+            "ray_query_mrays_per_sec": head.pop("ray_query_mrays_per_sec"),
             # Distance-to-ceiling: the VPU Möller-Trumbore chain issues
             # ~1 vreg-op/cycle — ~43 Mrays/s intersect-only at cornell's
             # ~460 pairs/ray (ROADMAP round-2/3 measurements).
             "vpu_issue_ceiling_mrays": 43.0,
-            "ray_query_ceiling_frac": round(rq_mrays / 43.0, 3),
+            "ray_query_ceiling_frac": head.pop("ray_query_ceiling_frac"),
             "loadavg_1m": loadavg_1m,
             "host_contended": host_contended,
-            "outside_class_mrays_per_sec": outside_mrays,
-            "nee_textured_mrays_per_sec": nee_tex_mrays,
-            "device": str(jax.devices()[0]),
-            "resolution": f"{width}x{height}",
-            "spp_timed": samples,
-            "samples_per_sec": round(spp_per_sec, 4),
-            "rays_per_sample": round(rays_per_sample, 1),
-            "scene_compile_s": round(compile_s, 2),
-            "xla_warmup_s": round(warmup_s, 2),
-            "mean_radiance": mean_radiance,
+            "outside_class_mrays_per_sec":
+                extras_frag.get("outside_class_mrays_per_sec"),
+            "nee_textured_mrays_per_sec":
+                extras_frag.get("nee_textured_mrays_per_sec"),
+            # Production-config per-iteration stage split (ms) and
+            # intersect-only distance to the ~43 Mrays/s VPU ceiling.
+            "stage_split_ms": stage_split,
+            "isect_stage_mrays": isect_stage_mrays,
+            "isect_ceiling_frac": (round(isect_stage_mrays / 43.0, 3)
+                                   if isinstance(isect_stage_mrays,
+                                                 (int, float)) else None),
+            **head,
         },
     }
     print(json.dumps(result))

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke-testing the "
                          "profile harness off-TPU)")
+    ap.add_argument("--json", action="store_true",
+                    help="also print ONE JSON line of the per-stage "
+                         "means (machine-readable: bench.py's "
+                         "stage-split extra parses it)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -492,11 +496,19 @@ def main():
 
     print(f"\nmean of iters 2+ (ms/iteration, pool {p}):")
     tot = 0.0
+    means = {}
     for k, v in stages.items():
         m = np.mean(v[2:]) * 1e3
+        means[k] = round(m, 1)
         tot += m
         print(f"  {k:6s} {m:7.1f}")
     print(f"  total  {tot:7.1f}  -> {p / tot / 1e3:.2f} Mrays/s-iter")
+    if args.json:
+        import json
+        print(json.dumps({**means, "total": round(tot, 1), "pool": p,
+                          "mrays_iter": round(p / tot / 1e3, 2),
+                          "isect_mrays": round(p / means["isect"] / 1e3,
+                                               2)}))
     if args.dump:
         np.savez_compressed(args.dump, iters=args.iters, **dumps)
         print(f"dumped pool rays -> {args.dump}")

@@ -126,6 +126,7 @@ def main():
                   f"p50 {np.percentile(u, 50):6.0f}  "
                   f"p90 {np.percentile(u, 90):6.0f}  "
                   f"p99 {np.percentile(u, 99):6.0f}  max {u.max():6d}  "
+                  f"fits128 {100.0 * (u <= 128).mean():5.1f}%  "
                   f"fits256 {100.0 * (u <= 256).mean():5.1f}%  "
                   f"fits512 {100.0 * (u <= 512).mean():5.1f}%",
                   flush=True)
