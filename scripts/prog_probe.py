@@ -17,8 +17,21 @@ earlier (scripts/outside_e2e.py).  Two questions, one harness:
      body (stage-profile composition mismatch); if ~48, it is
      while-loop/axon machinery.
 
+  C. Part B answered "while-loop/axon machinery" (39.4 ms/iter
+     host-stepped vs 72 in the real loop, queue 21).  Part C pins the
+     mechanism: the SAME body from the SAME fresh pool state, wrapped
+     three ways — (host) host-stepped groups of G=8 with one
+     next_work fetch per group (the production-replacement candidate),
+     (while) the exact production lax.while_loop chunk structure,
+     (fori) a static-trip lax.fori_loop.  If while >> host == fori,
+     the overhead is the dynamic cond; if while == fori >> host, it is
+     any single-program loop through this backend.  Run each variant
+     in its OWN process (--parts C --loop <v>): resident-session
+     executables contaminate the outside dispatch path (queue 21).
+
 python scripts/prog_probe.py [--res 512] [--samples 16] [--reps 3]
-                             [--parts A,B]
+                             [--parts A,B] [--loop host|while|fori]
+                             [--scene outside|cornell]
 """
 
 import argparse
@@ -124,23 +137,124 @@ def part_b(scene_gltf, args):
               f"{rays/t_all/1e6:.2f} Mrays/s, it={it}", flush=True)
 
 
+def _chunk_setup(scene_gltf, args):
+    """Shared part-C setup: production body + fresh chunk-call state."""
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.render.wavefront import (_make_body,
+                                                     _make_pix_coords,
+                                                     pix_layout,
+                                                     wavefront_pool_state)
+    from logipathtracer_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
+                       renderer="wavefront")
+    scene = compile_scene(scene_gltf, cfg)
+    cam = scene.cameras[0]
+    cam_world = jnp.asarray(cam.world_matrix)
+    fov = jnp.float32(cam.yfov)
+    h = w = args.res
+    npix = h * w
+    s = args.samples
+    total = s * npix
+    p = min(1 << 20, npix)
+    ubo_seeds = jnp.asarray(np.random.default_rng(0).integers(
+        1, 2 ** 31, (s, 2)), jnp.uint32)
+    blocked, bh, bw = pix_layout(cfg, scene, h, w)
+    pix_coords = _make_pix_coords(blocked, bh, bw, w,
+                                  jnp.asarray(0, jnp.int32))
+    body = _make_body(scene, cfg, cam_world, fov, ubo_seeds, p, npix,
+                      total, min(p, 1 << 18), pix_coords)
+    fresh = lambda: wavefront_pool_state(p, npix, cm=cfg.pool_cm)
+    return body, fresh, total
+
+
+def part_c(scene_gltf, args):
+    import jax.lax as lax
+
+    body, fresh, total = _chunk_setup(scene_gltf, args)
+    G, MAXIT = 8, 64
+
+    if args.loop == "host":
+        step = jax.jit(body, donate_argnums=(0,))
+
+        def run():
+            st = fresh()
+            it = 0
+            while it < MAXIT:
+                for _ in range(G):
+                    st = step(st)
+                it += G
+                if int(st["next_work"]) >= total:
+                    break
+            sync(st["rays"])
+            return st, it
+    elif args.loop == "while":
+        # The exact production wavefront_chunk structure.
+        def cond(st):
+            return (st["next_work"] < total) & (st["it"] < MAXIT)
+
+        loop = jax.jit(lambda st: lax.while_loop(cond, body, st),
+                       donate_argnums=(0,))
+
+        def run():
+            st = loop(fresh())
+            sync(st["rays"])
+            return st, int(st["it"])
+    elif args.loop == "fori":
+        n = args.fori_iters
+
+        def loop_fn(st):
+            return lax.fori_loop(0, n, lambda i, s: body(s), st)
+
+        loop = jax.jit(loop_fn, donate_argnums=(0,))
+
+        def run():
+            st = loop(fresh())
+            sync(st["rays"])
+            return st, n
+    else:
+        raise SystemExit(f"unknown --loop {args.loop}")
+
+    run()  # compile + warm
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        st, it = run()
+        dt = time.perf_counter() - t0
+        rays = float(st["rays"])
+        print(f"C scene={args.scene} loop={args.loop:5s} {dt:6.2f}s "
+              f"it={it:3d} {dt/it*1e3:6.1f} ms/iter "
+              f"{rays/1e6:.2f} Mrays {rays/dt/1e6:5.2f} Mrays/s",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--parts", default="A,B")
+    ap.add_argument("--loop", default="host",
+                    choices=("host", "while", "fori"))
+    ap.add_argument("--fori-iters", type=int, default=40)
+    ap.add_argument("--scene", default="outside",
+                    choices=("outside", "cornell"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from logipathtracer_tpu.scene.procedural import make_outside_scene
-    gltf = make_outside_scene()
+    if args.scene == "cornell":
+        from logipathtracer_tpu.scene.gltf import load_gltf
+        gltf = load_gltf("/root/reference/resources/cornell_box.gltf")
+    else:
+        from logipathtracer_tpu.scene.procedural import make_outside_scene
+        gltf = make_outside_scene()
     if "A" in args.parts:
         part_a(gltf, args)
     if "B" in args.parts:
         part_b(gltf, args)
+    if "C" in args.parts:
+        part_c(gltf, args)
 
 
 if __name__ == "__main__":
