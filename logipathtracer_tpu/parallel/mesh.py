@@ -73,6 +73,10 @@ class MeshRenderer(ProgressiveRenderer):
         assert h % t == 0, f"height {h} not divisible by tile axis {t}"
         super().__init__(scene, config, camera=camera, host_seed=host_seed)
         self._sharding = NamedSharding(mesh, P("samples", "tiles"))
+        # Replicate the SoA across the mesh ONCE (it arrives on the
+        # default device from ProgressiveRenderer's device_put);
+        # otherwise every _mesh_step call reshards it from one device.
+        self.scene = jax.device_put(self.scene, NamedSharding(mesh, P()))
         self.accum = jax.device_put(jnp.zeros((s, h, w, 3), jnp.float32),
                                     self._sharding)
         self._mesh_step = _build_step(mesh, config, scene)

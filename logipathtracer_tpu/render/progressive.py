@@ -59,7 +59,14 @@ class ProgressiveRenderer:
                     "(reference errors the same way, "
                     "src/RendererRTX.cpp:53-55)")
             camera = scene.cameras[0]
-        self.scene = scene
+        # Device-commit the scene ONCE.  compile_scene returns numpy
+        # arrays; passing those to the jitted render entry points
+        # re-uploads the whole SoA (~150 MB for the outside class)
+        # through the relay on EVERY call — measured 1.1 s/step at
+        # 512^2, i.e. the entire q20 "72 vs 48 ms/iter" progressive-
+        # vs-direct gap (scripts/prog_probe.py, round-4 queues 20-22).
+        # Cornell never showed it because its SoA is ~1.6 MB.
+        self.scene = jax.device_put(scene)
         self.config = config
         self.camera_world = np.asarray(camera.world_matrix, np.float32).copy()
         self.fov_y = float(camera.yfov)
