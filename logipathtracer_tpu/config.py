@@ -216,6 +216,25 @@ class RenderConfig:
                                   # iteration (alive coherence decays
                                   # slowly; >1 trades stale order for
                                   # skipped sort passes)
+    loop_group: int = 1           # wavefront: body iterations per
+                                  # while-loop cond check (inner
+                                  # fori_loop of this trip count).  The
+                                  # dynamic-cond machinery costs ~11
+                                  # ms/iteration through the axon relay
+                                  # (queue 22: the same body runs 37.6
+                                  # ms/iter under fori vs 49.2 under
+                                  # while on outside 512^2); grouping
+                                  # amortizes it at the cost of up to
+                                  # loop_group-1 overshoot iterations
+                                  # past the stop condition — with pool
+                                  # carryover these are simply the
+                                  # first drain iterations (radiance
+                                  # unaffected; tile composition
+                                  # changes, so cross-cluster tie-break
+                                  # divergence class as usual), and in
+                                  # render_wavefront/drain they are
+                                  # no-ops (nothing alive or pending
+                                  # changes).
     lazy_regen: int = 0           # wavefront: 0 = refill free lanes
                                   # every iteration; k>0 = refill only
                                   # when free*k >= pool (regen cost is
