@@ -61,7 +61,14 @@ def part_a(scene_gltf, args):
         "carryover(default)": dict(),
         "no_carryover": dict(pool_carryover=False),
         "granularity_chunk": dict(stream_granularity="chunk"),
+        "loop_group2": dict(loop_group=2),
+        "loop_group4": dict(loop_group=4),
+        "loop_group8": dict(loop_group=8),
     }
+    if args.variants:
+        want = args.variants.split(",")
+        variants = {k: v for k, v in variants.items()
+                    if any(k.startswith(w) for w in want)}
     for name, kw in variants.items():
         cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                            renderer="wavefront", **kw)
@@ -233,6 +240,10 @@ def main():
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--parts", default="A,B")
+    ap.add_argument("--variants", default="",
+                    help="part-A variant name prefixes (comma list); "
+                         "run ONE per process on outside (queue-21 "
+                         "contamination)")
     ap.add_argument("--loop", default="host",
                     choices=("host", "while", "fori"))
     ap.add_argument("--fori-iters", type=int, default=40)
