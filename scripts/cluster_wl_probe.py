@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--chunk-gate", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=16,
                     help="chunk worklist kernel's chunk size")
+    ap.add_argument("--submask", action="store_true",
+                    help="also run stream_cl with the per-(tile, "
+                         "cluster) sub-AABB submask (cl+sm) and "
+                         "hit-compare it against plain cl")
     args = ap.parse_args()
 
     from logipathtracer_tpu.config import RenderConfig
@@ -90,6 +94,11 @@ def main():
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, r8, tile=args.tile, cap=args.cap,
         nbuf=args.nbuf, chunk_gate=args.chunk_gate))
+    f_sm = jax.jit(lambda r8: cluster_intersect_stream_cl(
+        scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
+        scene.obj_world, r8, tile=args.tile, cap=args.cap,
+        nbuf=args.nbuf, chunk_gate=args.chunk_gate,
+        cl_sub=scene.cl_sub_aabb)) if args.submask else None
     f_wl = jax.jit(lambda r8: cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, r8, tile=args.tile, chunk=args.chunk,
@@ -124,13 +133,25 @@ def main():
         _sync(out_cl)
         print(f"  cl compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
+        if f_sm is not None:
+            t0 = time.perf_counter()
+            out_sm = f_sm(rays8)
+            _sync(out_sm)
+            print(f"  sm compile+first {time.perf_counter()-t0:.1f}s",
+                  flush=True)
         for rep in range(2):
             dt_cl, out_cl = timeit(f_cl, rays8)
             dt_wl, out_wl = timeit(f_wl, rays8)
-            print(f"  #{rep} cl {dt_cl*1e3:7.1f} ms "
-                  f"({r/dt_cl/1e6:5.2f} Mrays/s)   wl {dt_wl*1e3:7.1f} "
-                  f"ms ({r/dt_wl/1e6:5.2f})", flush=True)
+            line = (f"  #{rep} cl {dt_cl*1e3:7.1f} ms "
+                    f"({r/dt_cl/1e6:5.2f} Mrays/s)   wl {dt_wl*1e3:7.1f} "
+                    f"ms ({r/dt_wl/1e6:5.2f})")
+            if f_sm is not None:
+                dt_sm, out_sm = timeit(f_sm, rays8)
+                line += f"   cl+sm {dt_sm*1e3:7.1f} ms ({r/dt_sm/1e6:5.2f})"
+            print(line, flush=True)
         compare(label, out_cl, out_wl, r)
+        if f_sm is not None:
+            compare(label + " sm-vs-cl", out_sm, out_cl, r)
 
 
 if __name__ == "__main__":

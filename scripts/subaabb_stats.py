@@ -90,6 +90,27 @@ def main():
     sub_min = pm.reshape(C, 3, 3, ns, 128).min(axis=(1, 4))   # [C, 3, ns]
     sub_max = pM.reshape(C, 3, 3, ns, 128).max(axis=(1, 4))
 
+    # World-space sub-AABBs (8-corner transform, as chunk_world_bounds)
+    # for the FRUSTUM-level skip rate: the prepass can only hand the
+    # kernel tile-interval bits, which are conservative vs the exact
+    # per-ray tile-level rate above — measure the gap before building.
+    ow = np.asarray(scene.obj_world)                          # [O, 4, 4]
+    picks = np.array([[(ci >> 2) & 1, (ci >> 1) & 1, ci & 1]
+                      for ci in range(8)], np.float32)        # [8, 3]
+    sm = sub_min.transpose(0, 2, 1).reshape(C * ns, 3)        # [C*ns, 3]
+    sM = sub_max.transpose(0, 2, 1).reshape(C * ns, 3)
+    corners = (sm[:, None] * (1.0 - picks[None])
+               + sM[:, None] * picks[None])                   # [C*ns, 8, 3]
+    mats = ow[np.repeat(np.maximum(meta[:, 0], 0), ns)]       # [C*ns, 4, 4]
+    wc = (np.einsum("cij,ckj->cki", mats[:, :3, :3], corners)
+          + mats[:, None, :3, 3])
+    pad_grp = ~np.isfinite(sm).all(axis=1)
+    wsub_min = np.where(pad_grp[:, None], np.inf, wc.min(axis=1))
+    wsub_max = np.where(pad_grp[:, None], -np.inf, wc.max(axis=1))
+
+    from logipathtracer_tpu.ops.frustum import frustum_cluster_mask
+    import jax.numpy as jnp
+
     z = np.load(args.pool)
     its = sorted({int(k[1:]) for k in z.files if k.startswith("o")})[-2:]
     for it in its:
@@ -98,8 +119,16 @@ def main():
         r = o.shape[0]
         tiles = r // args.tile
         step = max(tiles // args.tiles, 1)
+        rays8 = np.zeros((8, r), np.float32)
+        rays8[5] = 1.0
+        rays8[0:3] = o.T
+        rays8[3:6] = d.T
+        fr_bits = np.asarray(frustum_cluster_mask(
+            jnp.asarray(rays8), jnp.asarray(wsub_min),
+            jnp.asarray(wsub_max), args.tile)).reshape(tiles, C, ns)
         n_tile_pairs = n_tile_skip = 0
         n_blk_pairs = n_blk_skip = 0
+        n_fr_skip = n_fr_viol = 0
         n_blocks = 0
         for t in range(0, tiles, step):
             ot = o[t * args.tile:(t + 1) * args.tile]
@@ -127,6 +156,11 @@ def main():
                                       np.full(nh, np.inf))
                     n_tile_pairs += 1
                     n_tile_skip += int(not sub_hit.any())
+                    n_fr_skip += int(not fr_bits[t, c, sb])
+                    # superset check: a clear frustum bit with an exact
+                    # passing ray would be a CORRECTNESS bug
+                    n_fr_viol += int(sub_hit.any()
+                                     and not fr_bits[t, c, sb])
                     # block-level: compacted 128-ray blocks in lane order
                     for b in range(0, nh, args.cap):
                         blk = sub_hit[b:b + args.cap]
@@ -140,7 +174,10 @@ def main():
               f"({100.0 * n_blk_skip / max(n_blk_pairs, 1):.1f}%)  "
               f"blocks {n_blocks}  "
               f"MT saved >= {100.0 * n_blk_skip / max(n_blk_pairs, 1):.1f}% "
-              f"of block MT issues", flush=True)
+              f"of block MT issues  "
+              f"FRUSTUM-level skip {n_fr_skip}/{n_tile_pairs} "
+              f"({100.0 * n_fr_skip / max(n_tile_pairs, 1):.1f}%)  "
+              f"violations {n_fr_viol}", flush=True)
 
 
 if __name__ == "__main__":

@@ -143,6 +143,42 @@ def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
     assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
 
 
+def test_stream_cl_submask_bit_identical(cornell_scene):
+    """The sub-AABB submask gate (stream_cluster.py) must be BIT-
+    identical to the ungated cluster-granular stream kernel: a clear
+    bit is proven to have no exact slab pass (containment + frustum
+    superset, tests/test_submask.py), and within a visit the gate only
+    removes sub-groups from the same min-reduce — unlike sweep-order
+    changes it cannot flip ties."""
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    from logipathtracer_tpu.ops.traverse import intersect_scene_cluster_wl
+
+    scene = cornell_scene
+    cam = scene.cameras[0]
+    h = w = 128
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
+                           jnp.float32(cam.yfov), pix, (w, h), seed)
+
+    t0, o0, r0 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32)
+    t1, o1, r1 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
+                                            submask=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    # shadow-query (any-hit) variant
+    tmax = jnp.full((h * w,), 0.35)
+    s0 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
+                                    t_max=tmax, any_hit=True)
+    s1 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
+                                    t_max=tmax, any_hit=True, submask=True)
+    np.testing.assert_array_equal(np.asarray(s0[0]), np.asarray(s1[0]))
+
+
 def test_flush_bins_matches_scatter_on_hardware(rng):
     """Dense bin-matmul flush (ops/pallas/flush.py) vs XLA scatter-add
     on a realistic pixid-sorted retired tail: identical accumulation
