@@ -164,6 +164,8 @@ def test_stream_cl_submask_bit_identical(cornell_scene):
     o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
                            jnp.float32(cam.yfov), pix, (w, h), seed)
 
+    if getattr(scene, "cl_sub_aabb", None) is None:
+        pytest.skip("sub-AABB submask not landed yet")
     t0, o0, r0 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32)
     t1, o1, r1 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
                                             submask=True)
