@@ -171,6 +171,15 @@ class RenderConfig:
                                   # cluster_wl_probe.py)
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
+    stream_submask: bool = False  # cluster-granular stream gates each
+                                  # 128-lane triangle sub-group of a
+                                  # visited cluster on a per-(tile,
+                                  # cluster) sub-AABB frustum submask
+                                  # (bit-identical; ~21-23% of the
+                                  # outside-class MT skippable at tile
+                                  # granularity, subaabb_stats round 4;
+                                  # default pending the queue-24
+                                  # hardware A/B)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz

@@ -80,6 +80,13 @@ def frustum_cluster_mask(rays8, cluster_min, cluster_max, tile: int,
     tiles = o_lo.shape[0]
     empty = o_lo[:, 0] > o_hi[:, 0]                  # all-parked tiles
 
+    # Inverted boxes (min > max) are the never-fire convention for
+    # empty/padded slots (e.g. triangle-less sub-groups in
+    # scene/clusters.py::cluster_sub_aabbs).  They must be killed
+    # EXPLICITLY: the min/max-normalizing slab below treats an
+    # inverted box as a huge one and would fire it on every tile.
+    dead_box = (cluster_min > cluster_max).any(axis=1)   # [C]
+
     # Interval arithmetic in f32 rounds to nearest, not outward; pad
     # the cluster AABBs by ~1e-5 relative so a boundary ray the
     # kernel's own (differently-ordered, also-rounded) slab would
@@ -132,4 +139,4 @@ def frustum_cluster_mask(rays8, cluster_min, cluster_max, tile: int,
     # test also admits t0 <= 0 < t1 — origin inside — which t1_hi > 0
     # covers.)
     ok = (t0_lo <= t1_hi) & (t1_hi > 0.0) & (t0_lo < t_cap[:, None])
-    return ok & ~empty[:, None]
+    return ok & ~empty[:, None] & ~dead_box[None, :]

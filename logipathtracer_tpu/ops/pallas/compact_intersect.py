@@ -147,7 +147,8 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
                                  eps: float, fast: bool = True,
-                                 ablate: str = "", any_hit: bool = False):
+                                 ablate: str = "", any_hit: bool = False,
+                                 submask=None, t_scr=None):
     """Compact the slab-passing rays of ONE fired cluster into dense
     CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
     (elementwise VPU with fast reciprocal), and scatter the
@@ -167,6 +168,13 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
     v5e: Mosaic rejects both bf16 cmpf AND int16 cmpi vector compares
     — "Target does not support this comparison".  The f32 compare +
     bf16 cast below is the narrowest supported build.)
+
+    ``submask`` (stream_cluster.py submask gate): a scalar i32 whose
+    bit sb covers triangle lanes [sb*128, (sb+1)*128); the MT runs
+    per 128-lane sub-group under pl.when into the ``t_scr`` [cap,
+    lanes] scratch (clear bits read the BIG fill — a proven-miss
+    sub-group contributes nothing to the min-reduce, so skipping it
+    is bit-identical; tests/test_submask.py pins the proof chain).
 
     ``ablate`` (probe-only, wrong results): 'norank' skips the roll
     prefix chain; 'ksmall' builds the one-hot and runs the gather/
@@ -188,6 +196,10 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
         rank_flat, n = _rank_roll(hit, lane_iota, sub_iota, g_n, tile)
     nb = jax.lax.convert_element_type(
         jnp.ceil(n * (1.0 / cap)), jnp.int32)
+    if submask is not None:
+        # Per-visit fill: blocks overwrite only set-bit sub-groups, so
+        # clear bits read BIG (miss) in every block's min-reduce.
+        t_scr[:] = jnp.full((cap, lanes), BIG, jnp.float32)
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
@@ -208,6 +220,16 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
             acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
         if ablate == "nomt":
             t = acc[0][:, None] + trib[0][None, 0:lanes]  # [cap, S] dummy
+        elif submask is not None:
+            for sb in range(lanes // 128):
+                sl = slice(sb * 128, (sb + 1) * 128)
+
+                @pl.when(((submask >> sb) & 1) != 0)
+                def _(sl=sl):
+                    t_scr[:, sl] = _mt_cluster(
+                        acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
+                        trib[:, sl], eps, fast=fast)       # [cap, 128]
+            t = t_scr[:]                                   # [cap, S]
         else:
             t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
                             acc[5], trib, eps, fast=fast)  # [cap, S]

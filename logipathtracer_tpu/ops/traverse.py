@@ -253,7 +253,8 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_cluster_wl(scene, origin, direction, eps: float = 1e-4,
                                tile: int = 4096, t_max=None, cap: int = 32,
                                cm: bool = False, any_hit: bool = False,
-                               nbuf: int = 4, chunk_gate: int = 0):
+                               nbuf: int = 4, chunk_gate: int = 0,
+                               submask: bool = False):
     """Closest hit via the cluster-granular worklist stream sweep
     (ops/pallas/stream_cluster.py) — the TPU production path for
     beyond-VMEM scenes (cfg.stream_granularity="cluster").  Same
@@ -268,7 +269,9 @@ def intersect_scene_cluster_wl(scene, origin, direction, eps: float = 1e-4,
         scene.obj_world, rays8, tile=tile, eps=eps,
         has_tmax=t_max is not None, cap=cap,
         any_hit=any_hit and t_max is not None, nbuf=nbuf,
-        chunk_gate=chunk_gate)
+        chunk_gate=chunk_gate,
+        cl_sub=(getattr(scene, "cl_sub_aabb", None) if submask
+                else None))
     return t[:r], obj[:r], tri[:r]
 
 

@@ -170,7 +170,8 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
                 return lambda s, o, d, eps, t_max=None, any_hit=False: \
                     intersect_scene_cluster_wl(
                         s, o, d, eps=eps, tile=cfg.stream_tile,
-                        t_max=t_max, cap=cap, cm=cm, any_hit=any_hit)
+                        t_max=t_max, cap=cap, cm=cm, any_hit=any_hit,
+                        submask=cfg.stream_submask)
             from logipathtracer_tpu.ops.traverse import \
                 intersect_scene_worklist
             return lambda s, o, d, eps, t_max=None, any_hit=False: \
