@@ -185,6 +185,13 @@ class RenderConfig:
                                   #  TPU for untextured non-NEE Heitz
                                   #  configs, jnp elsewhere)
     shade_tile: int = 2048        # rays per Pallas shade tile
+    shade_rows: bool = False      # feed the gathered [R, 64] shade-
+                                  # table rows ROW-MAJOR into the
+                                  # Pallas kernel (in-VMEM per-tile
+                                  # transpose) instead of two [R, 32]
+                                  # XLA transposes through HBM.
+                                  # Bit-identical; untextured gather-
+                                  # form configs only (A/B queue 26)
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
     sort_variadic: bool = True    # wavefront sort carries the state

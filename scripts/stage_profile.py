@@ -59,6 +59,10 @@ def main():
                     help="sort via sort_key_val + wide row gather "
                          "(the round-2 production form) instead of "
                          "one variadic lax.sort")
+    ap.add_argument("--shade-rows", action="store_true",
+                    help="row-feed shade form (cfg.shade_rows): the "
+                         "[R, 64] gathered table rows go to the kernel "
+                         "row-major, transposed per tile in VMEM")
     ap.add_argument("--shade-split", action="store_true",
                     help="also time the shade stage's pieces: the two "
                          "32-wide shade-table row gathers, the "
@@ -87,7 +91,7 @@ def main():
                        compact_fruspre=args.fruspre,
                        fill_fast=args.fill_fast,
                        sort_variadic=not args.no_sort_variadic,
-                       pool_cm=args.cm)
+                       pool_cm=args.cm, shade_rows=args.shade_rows)
     cm = args.cm
     # Layout helpers (mirror render/wavefront.py): broadcast a per-lane
     # condition over vector state, pick component i, restack rows.

@@ -209,3 +209,48 @@ def test_flush_bins_matches_scatter_on_hardware(rng):
     touched = np.zeros(npix, bool)
     touched[pix] = True
     assert (got[~touched] == accum0[~touched]).all()
+
+
+def test_shade_rows_bit_identical_on_hardware(cornell_scene):
+    """The row-feed shade form (shade.py ts_rows: in-VMEM per-tile
+    transpose of the [R, 64] gathered table rows) must match the
+    transposed-rows gather form bit-exactly on hardware — the Mosaic
+    relayout moves the same f32 values the XLA transposes move."""
+    from logipathtracer_tpu.config import RenderConfig
+    from logipathtracer_tpu.ops.camera import generate_ray
+    from logipathtracer_tpu.ops.rng import seed_from_pixel
+    from logipathtracer_tpu.ops.traverse import intersect_scene
+    from logipathtracer_tpu.render.megakernel import shade_step
+
+    scene = cornell_scene
+    assert scene.tri_shade.shape[0] > 512  # gather form, not tri_sel
+    cam = scene.cameras[0]
+    h = w = 128
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
+    o, d, seed = generate_ray(jnp.asarray(cam.world_matrix),
+                              jnp.float32(cam.yfov), pix, (w, h), seed)
+    t, obj, tri = intersect_scene(scene, o, d, eps=1e-4)
+    n = h * w
+    acc = jnp.zeros((n, 3))
+    mask = jnp.ones((n, 3))
+    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
+    bounce = jnp.asarray(
+        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
+
+    outs = {}
+    for rows in (False, True):
+        cfg = RenderConfig(width=w, height=h, shade="pallas",
+                           shade_rows=rows)
+        outs[rows] = shade_step(scene, cfg, o, d, acc, mask, alive,
+                                seed, bounce, t, obj, tri)
+    for name, a, b in zip(("origin", "direction", "acc", "mask",
+                           "alive", "seed", "prev_pdf"),
+                          outs[False], outs[True]):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            assert (a.view(np.int32) == b.view(np.int32)).all(), name
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
