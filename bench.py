@@ -24,11 +24,109 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 NORTH_STAR_MRAYS = 100.0
+
+# Driver-survival budget (seconds).  The round-4 driver killed bench.py
+# at ~20 min with nothing printed (BENCH_r04: rc=124, parsed=null) even
+# though the headline stage had completed — the orchestrator must emit
+# its ONE JSON line before any external timeout lands.  Default leaves
+# ~3 min of margin under a 20-min kill; override with LPT_BENCH_BUDGET_S.
+DEFAULT_BUDGET_S = float(os.environ.get("LPT_BENCH_BUDGET_S", "1020"))
+
+# Mutable orchestrator state shared with the signal handler: the best
+# currently-known result line and the live stage subprocess (killed on
+# abort so no orphan ever holds the exclusive TPU chip).
+_PARTIAL: dict = {}
+_CURRENT_PROC: list = []
+_EMITTED = [False]
+
+
+def _emit(result: dict) -> None:
+    """Print the one JSON line exactly once."""
+    if _EMITTED[0]:
+        return
+    _EMITTED[0] = True
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+_PROGRESS_PATH = [None]
+
+
+def _read_progress_file():
+    if not _PROGRESS_PATH[0]:
+        return None
+    try:
+        with open(_PROGRESS_PATH[0]) as f:
+            return json.loads(f.read())
+    except (OSError, ValueError):
+        return None
+
+
+def _abort_handler(signum, frame):
+    """SIGTERM/SIGINT/SIGALRM: kill the live stage, flush the
+    best-known result as the one JSON line, exit 0 (the contract is
+    the line, not the exit code).  If the headline never finished but
+    dropped a progress file, its last completed chunk is the value."""
+    for proc in _CURRENT_PROC:
+        try:
+            proc.kill()
+        except Exception:
+            pass
+    result = _PARTIAL or _null_result(
+        f"aborted by signal {signum} before headline completed")
+    if result.get("value") is None:
+        frag = _read_progress_file()
+        if frag is not None:
+            result = _assemble(
+                dict(frag), f"killed by signal {signum} mid-headline; "
+                            "value is the last completed chunk")
+    _emit(result)
+    os._exit(0)
+
+
+def _null_result(note: str) -> dict:
+    return {"metric": "mrays_per_sec_chip_cornell", "value": None,
+            "unit": "Mrays/s", "vs_baseline": None,
+            "extras": {"note": note}}
+
+
+def _assemble(head: dict, note: str | None = None) -> dict:
+    """Build the one-line result dict from a headline fragment (a
+    completed stage's JSON or a partial-progress drop)."""
+    mrays = head.pop("mrays")
+    rq = head.pop("ray_query_mrays_per_sec", None)
+    rq_frac = head.pop("ray_query_ceiling_frac", None)
+    extras = {
+        "ray_query_mrays_per_sec": rq,
+        # Distance-to-ceiling: the VPU Möller-Trumbore chain issues
+        # ~1 vreg-op/cycle — ~43 Mrays/s intersect-only at cornell's
+        # ~460 pairs/ray (ROADMAP round-2/3 measurements).
+        "vpu_issue_ceiling_mrays": 43.0,
+        "ray_query_ceiling_frac": rq_frac,
+        "outside_class_mrays_per_sec": None,
+        "nee_textured_mrays_per_sec": None,
+        "stage_split_ms": None,
+        "isect_stage_mrays": None,
+        "isect_ceiling_frac": None,
+        **head,
+    }
+    if note:
+        extras["note"] = note
+    return {
+        "metric": "mrays_per_sec_chip_cornell",
+        "value": mrays,
+        "unit": "Mrays/s",
+        "vs_baseline": (round(mrays / NORTH_STAR_MRAYS, 4)
+                        if isinstance(mrays, (int, float)) else None),
+        "extras": extras,
+    }
 
 
 def _ray_query_mrays(scene, cfg) -> float:
@@ -139,6 +237,21 @@ def stage_headline(args) -> dict:
     scene = compile_scene(load_gltf(args.scene), cfg)
     compile_s = time.perf_counter() - t0
 
+    def progress(frag: dict) -> None:
+        """Best-effort partial-result drop for the orchestrator: if
+        this stage is killed mid-measurement (driver timeout), the
+        orchestrator reads the last completed chunk's numbers from
+        here instead of reporting nothing (BENCH_r04 rc=124 lesson)."""
+        if not args.progress_file:
+            return
+        try:
+            tmp = args.progress_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(frag))
+            os.replace(tmp, args.progress_file)
+        except OSError:
+            pass
+
     r = ProgressiveRenderer(scene, cfg, host_seed=0)
     # Warmup chunk = timed chunk so the wavefront path (whose jit key
     # includes the per-step seed-batch shape) compiles exactly once.
@@ -149,8 +262,19 @@ def stage_headline(args) -> dict:
 
     timed = max(chunk, (samples // chunk) * chunk)
     t0 = time.perf_counter()
+    done = 0
     for _ in range(timed // chunk):
         r.step(chunk)
+        done += chunk
+        wall_so_far = time.perf_counter() - t0
+        rps = r.total_rays / r.sample_count
+        progress({"mrays": round(rps * done / wall_so_far / 1e6, 3),
+                  "device": "partial (killed mid-headline)",
+                  "resolution": f"{width}x{height}", "spp_timed": done,
+                  "samples_per_sec": round(done / wall_so_far, 4),
+                  "rays_per_sample": round(rps, 1),
+                  "scene_compile_s": round(compile_s, 2),
+                  "xla_warmup_s": round(warmup_s, 2)})
     wall = time.perf_counter() - t0
     samples = timed
     rays_per_sample = r.total_rays / r.sample_count
@@ -216,20 +340,33 @@ STAGES = {
 }
 
 
-def _run_stage_subprocess(stage: str, argv: list, timeout_s: int):
+def _run_stage_subprocess(stage: str, argv: list, timeout_s: float):
     """Run one measurement stage in a fresh python process; return its
-    parsed JSON fragment (the last stdout line starting with '{')."""
+    parsed JSON fragment (the last stdout line starting with '{').
+
+    The Popen handle is registered in _CURRENT_PROC so the SIGTERM
+    abort handler can kill it — an orphaned stage would hold the
+    exclusive TPU chip and sink the NEXT invocation too."""
     cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
            *argv]
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          timeout=timeout_s)
-    sys.stderr.write(proc.stderr)
-    for line in reversed(proc.stdout.strip().splitlines()):
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _CURRENT_PROC.append(proc)
+    try:
+        stdout, stderr = proc.communicate(timeout=max(timeout_s, 1.0))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
+    finally:
+        _CURRENT_PROC.remove(proc)
+    sys.stderr.write(stderr)
+    for line in reversed(stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(
         f"stage {stage} produced no JSON (exit {proc.returncode}); "
-        f"stdout tail: {proc.stdout.strip()[-300:]!r}")
+        f"stdout tail: {stdout.strip()[-300:]!r}")
 
 
 def main(argv=None) -> int:
@@ -249,6 +386,13 @@ def main(argv=None) -> int:
                     help="run everything in this process (no "
                          "subprocesses; extras will read low — see "
                          "module docstring)")
+    ap.add_argument("--budget", type=float, default=DEFAULT_BUDGET_S,
+                    help="total wall-clock budget (s); extras and the "
+                         "stage split are skipped when the headline "
+                         "eats it, and the JSON line always lands")
+    ap.add_argument("--progress-file", default=None,
+                    help="internal: headline stage drops partial "
+                         "numbers here after each timed chunk")
     args = ap.parse_args(argv)
 
     # Scrub the cache-key env pieces here too (the orchestrator never
@@ -263,6 +407,30 @@ def main(argv=None) -> int:
 
     # Orchestrator: this process never imports jax, so each sequential
     # stage subprocess gets the exclusive TPU chip and a fresh runtime.
+    # The one-JSON-line contract is guaranteed three ways (BENCH_r04
+    # was rc=124/parsed=null): a SIGTERM/SIGINT handler that flushes
+    # the best-known result, a wall-clock budget that skips extras and
+    # caps the headline, and a headline progress file for best-effort
+    # numbers when even the headline is killed mid-measurement.
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
+
+    signal.signal(signal.SIGTERM, _abort_handler)
+    signal.signal(signal.SIGINT, _abort_handler)
+    # Belt-and-braces self-deadline: even if every subprocess wait is
+    # already budget-bounded, fire the abort path shortly before the
+    # budget so the line is printed before any external SIGKILL grace
+    # window closes.
+    signal.signal(signal.SIGALRM, _abort_handler)
+    signal.alarm(max(int(args.budget) - 15, 10))
+    _PARTIAL.update(_null_result("headline stage did not complete"))
+
+    progress_path = os.path.join(
+        tempfile.gettempdir(), f"lpt_bench_progress_{os.getpid()}.json")
+    _PROGRESS_PATH[0] = progress_path
+
     passthrough = []
     if args.quick:
         passthrough.append("--quick")
@@ -272,12 +440,35 @@ def main(argv=None) -> int:
         v = getattr(args, flag)
         if v is not None:
             passthrough += [f"--{flag}", str(v)]
-    passthrough += ["--scene", args.scene]
+    passthrough += ["--scene", args.scene,
+                    "--progress-file", progress_path]
 
-    if args.inline:
-        head = stage_headline(args)
-    else:
-        head = _run_stage_subprocess("headline", passthrough, 7200)
+    try:
+        if args.inline:
+            head = stage_headline(args)
+        else:
+            head = _run_stage_subprocess(
+                "headline", passthrough, remaining() - 45.0)
+    except Exception as e:
+        frag = _read_progress_file()
+        if frag is not None:
+            _PARTIAL.clear()
+            _PARTIAL.update(_assemble(
+                dict(frag), f"headline killed mid-run ({type(e).__name__});"
+                            " value is the last completed chunk"))
+        else:
+            _PARTIAL["extras"]["note"] = (
+                f"headline stage failed before any timed chunk: "
+                f"{e}"[:300])
+        _emit(_PARTIAL)
+        return 0
+
+    _PARTIAL.clear()
+    _PARTIAL.update(_assemble(dict(head)))
+    try:
+        os.unlink(progress_path)
+    except OSError:
+        pass
 
     # Idle-host guard (VERDICT r3): the dispatch-heavy extras are
     # host-load-sensitive — the outside-class number HALVES (3.05 ->
@@ -291,26 +482,34 @@ def main(argv=None) -> int:
               "extras (outside_class, nee_textured) are unreliable on "
               "a contended host; re-run idle for official numbers.",
               file=sys.stderr)
+    _PARTIAL["extras"]["loadavg_1m"] = loadavg_1m
+    _PARTIAL["extras"]["host_contended"] = host_contended
 
-    extras_frag = {}
+    # Cold-cache estimate per extras stage: one fresh backend init +
+    # one or two remote AOT compiles.  Skip (recording why) rather
+    # than blow the budget — a missing extra is recoverable, a missing
+    # JSON line is not.
+    EXTRAS_EST_S = 120.0 if args.cpu else 480.0
     if not args.quick:
-        for stage in ("outside", "nee_tex"):
+        for stage, key in (("outside", "outside_class_mrays_per_sec"),
+                           ("nee_tex", "nee_textured_mrays_per_sec")):
+            if remaining() < EXTRAS_EST_S + 60.0:
+                _PARTIAL["extras"][key] = "skipped: budget exhausted"
+                continue
             try:
                 if args.inline:
-                    extras_frag.update(STAGES[stage](args))
+                    frag = STAGES[stage](args)
                 else:
-                    extras_frag.update(_run_stage_subprocess(
-                        stage, passthrough, 3600))
+                    frag = _run_stage_subprocess(
+                        stage, passthrough, remaining() - 45.0)
+                _PARTIAL["extras"].update(frag)
             except Exception as e:  # record, don't sink the headline
-                key = ("outside_class_mrays_per_sec" if stage == "outside"
-                       else "nee_textured_mrays_per_sec")
-                extras_frag[key] = f"error: {e}"[:200]
+                _PARTIAL["extras"][key] = f"error: {e}"[:200]
 
     # Per-iteration production stage split (VERDICT r3 item 6): cornell
     # 1024^2, 1M pool — makes each round's roofline arithmetic
     # verifiable from the bench artifact instead of ROADMAP archaeology.
-    stage_split = isect_stage_mrays = None
-    if not args.quick:
+    if not args.quick and remaining() > (180.0 if args.cpu else 600.0):
         try:
             env = dict(os.environ)
             if not args.cpu:
@@ -319,53 +518,44 @@ def main(argv=None) -> int:
                     "tests", ".jax_cache"))
                 env.setdefault(
                     "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
-            prof = subprocess.run(
+            prof = subprocess.Popen(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "scripts", "stage_profile.py"),
                  "--iters", "6", "--json"]
                 + (["--cpu", "--res", "128", "--pool", "16384"]
                    if args.cpu else []),
-                capture_output=True, text=True, timeout=3600, env=env)
-            for line in reversed(prof.stdout.strip().splitlines()):
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env)
+            _CURRENT_PROC.append(prof)
+            try:
+                prof_out, _ = prof.communicate(
+                    timeout=max(remaining() - 45.0, 1.0))
+            except subprocess.TimeoutExpired:
+                prof.kill()
+                prof.communicate()
+                raise
+            finally:
+                _CURRENT_PROC.remove(prof)
+            stage_split = None
+            for line in reversed(prof_out.strip().splitlines()):
                 if line.startswith("{"):
                     stage_split = json.loads(line)
                     break
             if stage_split is not None:
-                isect_stage_mrays = stage_split.pop("isect_mrays")
+                isect = stage_split.pop("isect_mrays")
+                _PARTIAL["extras"]["stage_split_ms"] = stage_split
+                _PARTIAL["extras"]["isect_stage_mrays"] = isect
+                _PARTIAL["extras"]["isect_ceiling_frac"] = (
+                    round(isect / 43.0, 3)
+                    if isinstance(isect, (int, float)) else None)
         except Exception as e:
-            stage_split = f"error: {e}"[:200]
+            _PARTIAL["extras"]["stage_split_ms"] = f"error: {e}"[:200]
+    elif not args.quick:
+        _PARTIAL["extras"]["stage_split_ms"] = "skipped: budget exhausted"
 
-    mrays = head.pop("mrays")
-    result = {
-        "metric": "mrays_per_sec_chip_cornell",
-        "value": mrays,
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-        "extras": {
-            "ray_query_mrays_per_sec": head.pop("ray_query_mrays_per_sec"),
-            # Distance-to-ceiling: the VPU Möller-Trumbore chain issues
-            # ~1 vreg-op/cycle — ~43 Mrays/s intersect-only at cornell's
-            # ~460 pairs/ray (ROADMAP round-2/3 measurements).
-            "vpu_issue_ceiling_mrays": 43.0,
-            "ray_query_ceiling_frac": head.pop("ray_query_ceiling_frac"),
-            "loadavg_1m": loadavg_1m,
-            "host_contended": host_contended,
-            "outside_class_mrays_per_sec":
-                extras_frag.get("outside_class_mrays_per_sec"),
-            "nee_textured_mrays_per_sec":
-                extras_frag.get("nee_textured_mrays_per_sec"),
-            # Production-config per-iteration stage split (ms) and
-            # intersect-only distance to the ~43 Mrays/s VPU ceiling.
-            "stage_split_ms": stage_split,
-            "isect_stage_mrays": isect_stage_mrays,
-            "isect_ceiling_frac": (round(isect_stage_mrays / 43.0, 3)
-                                   if isinstance(isect_stage_mrays,
-                                                 (int, float)) else None),
-            **head,
-        },
-    }
-    print(json.dumps(result))
+    signal.alarm(0)
+    _emit(_PARTIAL)
     return 0
 
 
