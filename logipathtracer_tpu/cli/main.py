@@ -64,6 +64,29 @@ def _add_common(p: argparse.ArgumentParser):
                         "(SURVEY.md §5.1 instrumentation)")
 
 
+def _make_cfg(args, width: int, height: int) -> RenderConfig:
+    return RenderConfig(width=width, height=height,
+                        render_scale=args.render_scale,
+                        max_depth=args.max_depth,
+                        use_microfacet=not args.basic,
+                        nee=args.nee,
+                        mip_levels=args.mips,
+                        renderer=args.renderer,
+                        bvh_leaf_size=args.leaf_size)
+
+
+def _compile_and_renderer(args, gltf, cfg):
+    t0 = time.perf_counter()
+    scene = compile_scene(gltf, cfg)
+    log.info("scene compiled in %.2fs: %d objects, %d fused BVH nodes, "
+             "stack %d", time.perf_counter() - t0, scene.num_objects,
+             scene.fused_min.shape[0], scene.max_stack)
+    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
+    cam = scene.cameras[args.camera] if scene.cameras else None
+    return scene, ProgressiveRenderer(scene, cfg, camera=cam,
+                                      host_seed=args.seed)
+
+
 def _build(args):
     import jax
     if args.cpu:
@@ -79,27 +102,30 @@ def _build(args):
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    cfg = RenderConfig(width=args.width, height=args.height,
-                       render_scale=args.render_scale,
-                       max_depth=args.max_depth,
-                       use_microfacet=not args.basic,
-                       nee=args.nee,
-                       mip_levels=args.mips,
-                       renderer=args.renderer,
-                       bvh_leaf_size=args.leaf_size)
+    cfg = _make_cfg(args, args.width, args.height)
     log.info("loading %s", args.scene)
     gltf = load_gltf(args.scene)
     log.info("compiling scene: %d nodes, %d triangles",
              len(gltf.mesh_nodes), gltf.triangle_count)
-    t0 = time.perf_counter()
-    scene = compile_scene(gltf, cfg)
-    log.info("scene compiled in %.2fs: %d objects, %d fused BVH nodes, "
-             "stack %d", time.perf_counter() - t0, scene.num_objects,
-             scene.fused_min.shape[0], scene.max_stack)
-    from logipathtracer_tpu.render.progressive import ProgressiveRenderer
-    cam = scene.cameras[args.camera] if scene.cameras else None
-    return cfg, scene, ProgressiveRenderer(scene, cfg, camera=cam,
-                                           host_seed=args.seed)
+    scene, renderer = _compile_and_renderer(args, gltf, cfg)
+    return cfg, scene, renderer
+
+
+def _build_web(args):
+    """Web-viewer builder: the full-res progressive renderer plus (at
+    --preview-scale > 1) a reduced-resolution PREVIEW renderer over the
+    same glTF, used for display-rate frames while the camera moves
+    (webview.py module docstring)."""
+    cfg, scene, renderer = _build(args)
+    scale = getattr(args, "preview_scale", 1)
+    if scale <= 1:
+        return cfg, scene, renderer
+    pw = max(64, args.width // scale)
+    ph = max(64, args.height // scale)
+    gltf = load_gltf(args.scene)
+    log.info("compiling %dx%d navigation preview scene", pw, ph)
+    _, preview = _compile_and_renderer(args, gltf, _make_cfg(args, pw, ph))
+    return cfg, scene, renderer, preview
 
 
 def cmd_render(args) -> int:
@@ -250,7 +276,7 @@ def cmd_view(args) -> int:
 
 def cmd_web(args) -> int:
     from logipathtracer_tpu.cli.webview import serve
-    return serve(args, _build)
+    return serve(args, _build_web)
 
 
 def cmd_compare(args) -> int:
@@ -308,6 +334,15 @@ def main(argv=None) -> int:
                     help="write the bound port here once listening")
     pw.add_argument("--frames", type=int, default=0,
                     help="render N frames then exit (0 = until 'x')")
+    pw.add_argument("--preview-scale", type=int, default=4,
+                    help="resolution divisor for frames rendered while "
+                         "the camera is moving (1 disables the preview "
+                         "renderer; 4 = 16x fewer rays per navigation "
+                         "frame, upscaled client-side)")
+    pw.add_argument("--settle-s", type=float, default=0.35,
+                    help="seconds of camera stillness before switching "
+                         "back from the navigation preview to full-res "
+                         "accumulation")
     pw.add_argument("--linger", type=float, default=0.0,
                     help="with --frames: keep serving this many seconds "
                          "after the last frame (screenshot window)")

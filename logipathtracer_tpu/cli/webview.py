@@ -5,16 +5,28 @@ swapchain window every frame (src/RendererCore.cpp:373-412, presented
 from the render loop in src/RendererPT.cpp:550-567) with GLFW key
 input (src/Main.cpp:57-93).  On a headless TPU host there is no
 swapchain; the TPU-native analog is an HTTP viewer: a stdlib
-ThreadingHTTPServer serves the latest accumulated frame as PNG to a
-browser tab that polls it at display rate, and feeds key events back
-into the camera (WASD/QE translate, IJKL/UO rotate — the reference's
-bindings; motion resets accumulation exactly like the terminal viewer
-in cli/main.py::cmd_view).
+ThreadingHTTPServer serves the latest accumulated frame to a browser
+tab that polls it at display rate, and feeds key events back into the
+camera (WASD/QE translate, IJKL/UO rotate — the reference's bindings;
+motion resets accumulation exactly like the terminal viewer in
+cli/main.py::cmd_view).
 
-Zero dependencies beyond the stdlib: frames ride the repo's own pure-
-numpy PNG encoder (film/png.py).  The render loop runs on the main
+Interactive rate at 1080p comes from two decoupled mechanisms
+(the reference resets to 1 spp on motion and still presents at display
+rate, src/Main.cpp:57-93 + src/RendererPT.cpp:575-581):
+
+  * present is a raw-RGBA blit (/frame.raw -> canvas drawImage, ~8 MB
+    over localhost, no encode cost) — PNG encoding a 1080p frame cost
+    0.4-1.6 s per present (renders/interactive_1080p_report.json,
+    round 4) and is now on-demand only (/frame.png, screenshot path);
+  * while the camera is moving, frames render on a reduced-resolution
+    PREVIEW renderer (default 1/4 scale = 16x fewer rays) and the
+    browser upscales; the first still frame switches back to full-res
+    accumulation (which motion marked dirty, so it restarts clean).
+
+Zero dependencies beyond the stdlib.  The render loop runs on the main
 thread (JAX dispatch stays single-threaded); the server thread only
-reads the last encoded frame under a lock.
+reads the last published frame under a lock.
 """
 
 from __future__ import annotations
@@ -42,32 +54,57 @@ _PAGE = """<!doctype html>
 <html><head><title>logipathtracer-tpu</title><style>
 body { background: #111; color: #ccc; font: 13px monospace;
        display: flex; flex-direction: column; align-items: center; }
-img { image-rendering: pixelated; margin-top: 12px;
-      max-width: 95vw; max-height: 85vh; }
+canvas { image-rendering: pixelated; margin-top: 12px;
+         max-width: 95vw; max-height: 85vh; }
 #stats { margin: 8px; }
 </style></head><body>
-<img id="frame" src="/frame.png" alt="render">
+<canvas id="frame" width="16" height="16"></canvas>
 <div id="stats">connecting...</div>
-<div>wasd/qe move &middot; ijkl/uo rotate &middot; x quit</div>
+<div>wasd/qe move &middot; ijkl/uo rotate &middot; x quit
+     &middot; <a href="/frame.png" download style="color:#8af">png</a></div>
 <script>
-const img = document.getElementById('frame');
+const canvas = document.getElementById('frame');
+const ctx = canvas.getContext('2d');
 const stats = document.getElementById('stats');
-let gen = 0;
+let gen = 0, fetching = false;
+async function blit(g) {
+  // Raw-RGBA blit: no server-side encode, no client-side decode.
+  // The frame may be a reduced-scale navigation preview; the canvas
+  // stays at display resolution and drawImage upscales (pixelated).
+  const r = await fetch('/frame.raw?g=' + g);
+  if (r.status !== 200) return;
+  const w = parseInt(r.headers.get('X-Frame-Width'));
+  const h = parseInt(r.headers.get('X-Frame-Height'));
+  const dw = parseInt(r.headers.get('X-Display-Width'));
+  const dh = parseInt(r.headers.get('X-Display-Height'));
+  const buf = new Uint8ClampedArray(await r.arrayBuffer());
+  const imgData = new ImageData(buf, w, h);
+  if (canvas.width !== dw || canvas.height !== dh) {
+    canvas.width = dw; canvas.height = dh;
+  }
+  if (w === dw && h === dh) { ctx.putImageData(imgData, 0, 0); return; }
+  const bmp = await createImageBitmap(imgData);
+  ctx.imageSmoothingEnabled = false;
+  ctx.drawImage(bmp, 0, 0, dw, dh);
+}
 async function tick() {
   try {
     const r = await fetch('/stats');
     const s = await r.json();
     stats.textContent = `spp ${s.spp}  ${s.samples_per_sec.toFixed(2)}` +
       ` samples/s  ${s.mrays_per_sec.toFixed(2)} Mrays/s` +
+      (s.mode === 'navigate' ? '  [navigating: preview scale]' : '') +
       (s.compiling ? '  [compiling scene...]' : '');
-    if (s.frame_gen !== gen) {
+    if (s.frame_gen !== gen && !fetching) {
       gen = s.frame_gen;
-      img.src = '/frame.png?g=' + gen;
+      fetching = true;
+      try { await blit(gen); } finally { fetching = false; }
     }
     if (s.done) return;
   } catch (e) { stats.textContent = 'disconnected'; return; }
-  setTimeout(tick, 250);
+  setTimeout(tick, s_poll_ms());
 }
+function s_poll_ms() { return 60; }
 tick();
 document.addEventListener('keydown', (ev) => {
   const k = ev.key.toLowerCase();
@@ -78,30 +115,65 @@ document.addEventListener('keydown', (ev) => {
 
 
 class ViewerState:
-    """Shared state between the render loop and the HTTP threads."""
+    """Shared state between the render loop and the HTTP threads.
+
+    The render loop publishes the latest frame as a uint8 RGBA numpy
+    array (a ~5 ms memcpy at 1080p); HTTP threads serve it raw
+    (/frame.raw, the display path) and encode PNG only on demand
+    (/frame.png, the screenshot path — 0.4-1.6 s at 1080p, cached per
+    frame generation)."""
 
     def __init__(self):
         self.lock = threading.Lock()
-        self.frame_png = b""
+        self.frame = None            # uint8 [H, W, 4] RGBA
+        self.display_size = (0, 0)   # (w, h) the client should show
         self.frame_gen = 0
+        self._png_cache = (-1, b"")
         self.stats = {"spp": 0, "samples_per_sec": 0.0,
                       "mrays_per_sec": 0.0, "compiling": True,
                       "frame_gen": 0, "done": False}
         self.keys = collections.deque()
         self.quit = threading.Event()
 
-    def publish(self, png: bytes, stats: dict):
+    def publish(self, frame, stats: dict, display_size=None):
+        """frame: uint8 [H, W, 3|4] or None (compile-phase heartbeat —
+        don't make clients refetch nothing)."""
         with self.lock:
-            if png:  # compile-phase publishes carry no frame — don't
-                self.frame_png = png   # make clients refetch nothing
+            if frame is not None:
+                if frame.shape[-1] == 3:
+                    rgba = np.empty(frame.shape[:2] + (4,), np.uint8)
+                    rgba[..., :3] = frame
+                    rgba[..., 3] = 255
+                    frame = rgba
+                self.frame = frame
+                self.display_size = display_size or (
+                    frame.shape[1], frame.shape[0])
                 self.frame_gen += 1
             self.stats = dict(stats, frame_gen=self.frame_gen,
                               done=self.quit.is_set())
 
-    def snapshot(self):
+    def snapshot_raw(self):
         with self.lock:
-            return self.frame_png, dict(self.stats,
-                                        done=self.quit.is_set())
+            return self.frame, self.display_size, self.frame_gen
+
+    def snapshot_png(self):
+        """PNG of the current frame, encoded at most once per gen."""
+        with self.lock:
+            frame, gen = self.frame, self.frame_gen
+            if gen == self._png_cache[0]:
+                return self._png_cache[1]
+        if frame is None:
+            return b""
+        from logipathtracer_tpu.film.png import encode_png
+        png = encode_png(frame[..., :3])
+        with self.lock:
+            if gen >= self._png_cache[0]:
+                self._png_cache = (gen, png)
+        return png
+
+    def snapshot_stats(self):
+        with self.lock:
+            return dict(self.stats, done=self.quit.is_set())
 
 
 def _make_handler(state: ViewerState):
@@ -119,17 +191,34 @@ def _make_handler(state: ViewerState):
 
         def do_GET(self):
             path = self.path.split("?", 1)[0]
-            png, stats = state.snapshot()
             if path == "/":
                 self._send(200, "text/html", _PAGE.encode())
+            elif path == "/frame.raw":
+                frame, (dw, dh), gen = state.snapshot_raw()
+                if frame is None:
+                    self._send(503, "text/plain", b"no frame yet")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
+                body = frame.tobytes()
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("X-Frame-Width", str(frame.shape[1]))
+                self.send_header("X-Frame-Height", str(frame.shape[0]))
+                self.send_header("X-Display-Width", str(dw))
+                self.send_header("X-Display-Height", str(dh))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
             elif path == "/frame.png":
+                png = state.snapshot_png()
                 if not png:
                     self._send(503, "text/plain", b"no frame yet")
                 else:
                     self._send(200, "image/png", png)
             elif path == "/stats":
                 self._send(200, "application/json",
-                           json.dumps(stats).encode())
+                           json.dumps(state.snapshot_stats()).encode())
             else:
                 self._send(404, "text/plain", b"not found")
 
@@ -148,33 +237,42 @@ def _make_handler(state: ViewerState):
     return Handler
 
 
-def _apply_keys(state: ViewerState, renderer) -> int:
-    """Drain queued keys into camera motion; returns how many applied."""
+def _apply_keys(state: ViewerState, renderers) -> int:
+    """Drain queued keys into camera motion on every renderer (the
+    full-res and preview renderers track the same camera); returns how
+    many keys were applied."""
     applied = 0
     while state.keys:
         try:
             key = state.keys.popleft()
         except IndexError:  # racing producer — deque is thread-safe
             break
-        if key in KEYMAP_T:
-            renderer.translate(*KEYMAP_T[key])
-        elif key in KEYMAP_R:
-            renderer.rotate(*KEYMAP_R[key])
+        for renderer in renderers:
+            if key in KEYMAP_T:
+                renderer.translate(*KEYMAP_T[key])
+            elif key in KEYMAP_R:
+                renderer.rotate(*KEYMAP_R[key])
         applied += 1
     return applied
 
 
 def serve(args, build) -> int:
     """Run the web viewer: ``build(args)`` -> (cfg, scene, renderer)
-    is invoked on a background thread (async scene load, reference
-    parity with src/Main.cpp:45 / RendererPT.cpp:608-612) while the
-    server answers immediately; the render loop then steps one sample
-    per frame, applying queued key events between steps.
+    or (cfg, scene, renderer, preview_renderer) is invoked on a
+    background thread (async scene load, reference parity with
+    src/Main.cpp:45 / RendererPT.cpp:608-612) while the server answers
+    immediately; the render loop then steps one sample per frame,
+    applying queued key events between steps.
+
+    With a preview renderer, frames rendered while camera keys are
+    arriving come from it (reduced resolution, upscaled client-side);
+    the first key-free frame returns to the full-res renderer, whose
+    accumulation the motion already reset (dirty protocol,
+    src/RendererPT.cpp:575-581).
 
     ``--frames N`` renders N progressive frames then exits (smoke/test
     mode; 0 = serve until 'x' or Ctrl-C)."""
     from logipathtracer_tpu.film.image import to_uint8
-    from logipathtracer_tpu.film.png import encode_png
 
     state = ViewerState()
     server = ThreadingHTTPServer((args.host, args.port),
@@ -206,30 +304,47 @@ def serve(args, build) -> int:
                 raise box["error"]
             if state.quit.is_set():
                 return 0
-            state.publish(b"", {"spp": 0, "samples_per_sec": 0.0,
-                                "mrays_per_sec": 0.0, "compiling": True,
-                                "compile_s": round(
-                                    time.perf_counter() - t0, 1)})
+            state.publish(None, {"spp": 0, "samples_per_sec": 0.0,
+                                 "mrays_per_sec": 0.0, "compiling": True,
+                                 "compile_s": round(
+                                     time.perf_counter() - t0, 1)})
             time.sleep(0.2)
-        cfg, scene, r = box["built"]
+        built = box["built"]
+        cfg, scene, r = built[:3]
+        rp = built[3] if len(built) > 3 else None
+        display = ((cfg.render_width, cfg.render_height)
+                   if cfg is not None else None)
+        renderers = [r] + ([rp] if rp is not None else [])
+        # Settle window: navigation stays on the preview renderer until
+        # the camera has been still this long, so a brief pause between
+        # key repeats doesn't stall the loop on a multi-second full-res
+        # frame mid-navigation.
+        settle_s = getattr(args, "settle_s", 0.35)
+        last_key_t = float("-inf")
         frames = 0
         while not state.quit.is_set():
-            _apply_keys(state, r)
-            r.step(1)
-            img = to_uint8(np.asarray(r.image()))
-            state.publish(encode_png(img),
-                          {"spp": r.sample_count,
-                           "samples_per_sec": round(r.samples_per_sec(), 3),
-                           "mrays_per_sec": round(r.mrays_per_sec(), 3),
-                           "compiling": False})
+            if _apply_keys(state, renderers) > 0:
+                last_key_t = time.monotonic()
+            moving = time.monotonic() - last_key_t < settle_s
+            rr = rp if (moving and rp is not None) else r
+            rr.step(1)
+            img = to_uint8(np.asarray(rr.image()))
+            state.publish(img,
+                          {"spp": rr.sample_count,
+                           "samples_per_sec": round(rr.samples_per_sec(), 3),
+                           "mrays_per_sec": round(rr.mrays_per_sec(), 3),
+                           "mode": ("navigate" if rr is rp
+                                    else "converge"),
+                           "compiling": False},
+                          display_size=display)
             frames += 1
             if args.frames and frames >= args.frames:
                 break
         state.quit.set()
         # Publish the final stats (done=True) so polling clients stop.
-        png, stats = state.snapshot()
-        state.publish(png, {k: v for k, v in stats.items()
-                            if k not in ("frame_gen", "done")})
+        stats = state.snapshot_stats()
+        state.publish(None, {k: v for k, v in stats.items()
+                             if k not in ("frame_gen", "done")})
         if args.frames and getattr(args, "linger", 0.0):
             time.sleep(args.linger)
         return 0

@@ -1,28 +1,34 @@
-"""Measure the 1080p-class interactive session (VERDICT r3 missing #1).
+"""Measure the 1080p-class interactive session (VERDICT r3 missing #1,
+VERDICT r4 next-round item 3).
 
 The reference presents progressive 1920x1080 frames through a Vulkan
 swapchain every sample, with camera keys resetting accumulation
 (/root/reference/src/RendererPT.cpp:550-567,
  src/RendererCore.cpp:373-412, src/Main.cpp:57-93).  On this headless
 TPU host the analog is the web viewer (cli/webview.py); this script
-runs the viewer's exact present loop — step(1), drain, tonemap, fetch,
-PNG-encode — at full 1920x1080 on the real chip and records what a
-user of the `web` subcommand would experience:
+runs the viewer's exact present loop at the reference's DEFAULT
+interactive config (1920x1080, 1 spp per frame, max_depth 10):
 
   * a NAVIGATE phase: the camera rotates every frame (accumulation
-    resets each time, the reference's dirty protocol) — 1 spp frames;
-  * a CONVERGE phase: camera still, one more sample accumulated and
-    presented per frame.
+    resets, the reference's dirty protocol); frames render on the
+    reduced-scale PREVIEW renderer exactly as `web` does while keys
+    arrive, and present as the raw-RGBA blit the browser draws;
+  * a CONVERGE phase: camera still, full-resolution accumulation, one
+    more sample presented per frame (raw blit again — PNG encoding is
+    on-demand only in the viewer, measured separately here once).
 
-Writes a JSON report (per-phase fps + per-frame breakdown) and the
-final converged frame as PNG.  Timing note: np.asarray(image) is a
-real device fetch, so every frame is host-synced through the relay —
-no async-dispatch credit (CLAUDE.md sync rules).
+Timing notes: np.asarray(image) is a real device fetch, so every frame
+is host-synced through the relay — no async-dispatch credit (CLAUDE.md
+sync rules).  Phase throughputs are derived from the phase's own
+wall-clock frame totals, NOT from ProgressiveRenderer's internal timer
+(its block_until_ready bracketing does not synchronize through the
+axon relay in this container — CLAUDE.md; ADVICE r4).
 
 Usage (idle host, one TPU process):
   python scripts/interactive_1080p.py \
       [--scene /root/reference/resources/cornell_box.gltf]
-      [--width 1920 --height 1080] [--nav-frames 12 --acc-frames 12]
+      [--width 1920 --height 1080] [--preview-scale 4]
+      [--nav-frames 12 --acc-frames 12]
       [--out renders/interactive_1080p]
 """
 
@@ -44,6 +50,7 @@ def main() -> int:
                     default="/root/reference/resources/cornell_box.gltf")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--preview-scale", type=int, default=4)
     ap.add_argument("--nav-frames", type=int, default=12)
     ap.add_argument("--acc-frames", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
@@ -72,65 +79,107 @@ def main() -> int:
     from logipathtracer_tpu.scene.compile import compile_scene
     from logipathtracer_tpu.scene.gltf import load_gltf
 
+    gltf = load_gltf(args.scene)
     cfg = RenderConfig(width=args.width, height=args.height, max_depth=10)
     t0 = time.perf_counter()
-    scene = compile_scene(load_gltf(args.scene), cfg)
-    scene_compile_s = time.perf_counter() - t0
+    scene = compile_scene(gltf, cfg)
     r = ProgressiveRenderer(scene, cfg, host_seed=0)
+    rp = None
+    if args.preview_scale > 1:
+        pw = max(64, args.width // args.preview_scale)
+        ph = max(64, args.height // args.preview_scale)
+        cfg_p = RenderConfig(width=pw, height=ph, max_depth=10)
+        rp = ProgressiveRenderer(compile_scene(gltf, cfg_p), cfg_p,
+                                 host_seed=0)
+    scene_compile_s = time.perf_counter() - t0
 
-    def present():
-        """One viewer frame: advance one sample, then do exactly what
-        cli/webview.py::serve does to put it on screen."""
+    def present(renderer):
+        """One viewer frame on the raw-blit path: advance one sample,
+        fetch, and produce the bytes /frame.raw would serve."""
         t_step = time.perf_counter()
-        r.step(1)
-        img = np.asarray(r.image())     # drain + tonemap + device fetch
+        renderer.step(1)
+        img = np.asarray(renderer.image())  # drain + tonemap + fetch
         t_fetch = time.perf_counter()
-        png = encode_png(to_uint8(img))
+        u8 = to_uint8(img)
+        rgba = np.empty(u8.shape[:2] + (4,), np.uint8)
+        rgba[..., :3] = u8
+        rgba[..., 3] = 255
+        blob = rgba.tobytes()               # what the HTTP thread sends
         t_done = time.perf_counter()
-        return img, png, t_fetch - t_step, t_done - t_fetch
+        return u8, blob, t_fetch - t_step, t_done - t_fetch
 
-    # Warmup: compiles the wavefront step + drain graphs (one shape).
+    # Warmup both render graphs (one shape each).
     t0 = time.perf_counter()
-    present()
+    present(r)
+    if rp is not None:
+        present(rp)
     warmup_s = time.perf_counter() - t0
 
-    def run_phase(n, move):
+    def run_phase(n, renderer, move):
+        """ADVICE r4: n == 0 yields an empty-phase record instead of
+        ZeroDivisionError; throughput derives from the phase's own
+        wall-clock totals."""
         frames = []
+        rays0 = renderer.total_rays
         for i in range(n):
             if move:
-                r.rotate(1, 0.02)       # viewer 'j' key: dirty + reset
+                renderer.rotate(1, 0.02)    # viewer 'j': dirty + reset
             t0 = time.perf_counter()
-            _, png, render_s, encode_s = present()
+            _, blob, render_s, encode_s = present(renderer)
             frames.append({"total_s": round(time.perf_counter() - t0, 4),
                            "render_s": round(render_s, 4),
                            "encode_s": round(encode_s, 4),
-                           "png_bytes": len(png)})
+                           "blob_bytes": len(blob)})
+        if not frames:
+            return {"frames": [], "fps_mean": None, "fps_best": None,
+                    "frame_ms_median": None, "samples_per_sec": None,
+                    "mrays_per_sec": None}
         total = [f["total_s"] for f in frames]
+        wall = sum(total)
         return {
             "frames": frames,
-            "fps_mean": round(n / sum(total), 3),
+            "fps_mean": round(n / wall, 3),
             "fps_best": round(1.0 / min(total), 3),
             "frame_ms_median": round(sorted(total)[n // 2] * 1e3, 1),
+            # Wall-clock-derived (one sample per frame on this phase's
+            # renderer; rays from the renderer's own counter delta).
+            "samples_per_sec": round(n / wall, 3),
+            "mrays_per_sec": round(
+                (renderer.total_rays - rays0) / wall / 1e6, 3),
         }
 
-    nav = run_phase(args.nav_frames, move=True)
-    acc = run_phase(args.acc_frames, move=False)
+    nav = run_phase(args.nav_frames, rp if rp is not None else r,
+                    move=True)
+    # Camera moved on the preview only during nav; mark the full-res
+    # session dirty so converge starts a clean accumulation (ADVICE r4:
+    # don't average a navigate frame into the converge stats).
+    if rp is not None and args.nav_frames:
+        r.rotate(1, 0.02 * args.nav_frames)
+    acc = run_phase(args.acc_frames, r, move=False)
 
+    # PNG screenshot cost, measured ONCE (the viewer encodes PNG only
+    # on demand — it is no longer on the per-frame present path).
     img = np.asarray(r.image())
+    t0 = time.perf_counter()
+    png = encode_png(to_uint8(img))
+    png_encode_s = time.perf_counter() - t0
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     write_png(args.out + ".png", to_uint8(img))
 
     report = {
         "scene": scene.name,
         "resolution": f"{cfg.render_width}x{cfg.render_height}",
+        "preview_resolution": (
+            f"{rp.config.render_width}x{rp.config.render_height}"
+            if rp is not None else None),
         "device": str(jax.devices()[0]),
         "renderer": "wavefront" if r._use_wavefront() else "megakernel",
         "scene_compile_s": round(scene_compile_s, 2),
         "xla_warmup_s": round(warmup_s, 1),
         "navigate_1spp": {k: v for k, v in nav.items() if k != "frames"},
         "converge_accum": {k: v for k, v in acc.items() if k != "frames"},
-        "samples_per_sec_converge": round(r.samples_per_sec(), 3),
-        "mrays_per_sec_converge": round(r.mrays_per_sec(), 3),
+        "png_screenshot_s": round(png_encode_s, 3),
         "nav_frames": nav["frames"],
         "acc_frames": acc["frames"],
     }

@@ -87,6 +87,82 @@ def viewer(tmp_path):
     t.join(timeout=10)
 
 
+def _get_raw(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.read(), dict(r.headers)
+
+
+def test_webview_raw_route(viewer):
+    """/frame.raw serves the uint8 RGBA blit with size headers — the
+    display path (PNG is on-demand only)."""
+    base, stub, t, rc = viewer
+    for _ in range(100):
+        stats = json.loads(_get(base + "/stats"))
+        if not stats["compiling"] and stats["spp"] > 1:
+            break
+        time.sleep(0.05)
+    body, headers = _get_raw(base + "/frame.raw")
+    w = int(headers["X-Frame-Width"])
+    h = int(headers["X-Frame-Height"])
+    assert (w, h) == (16, 16)
+    assert len(body) == w * h * 4
+    arr = np.frombuffer(body, np.uint8).reshape(h, w, 4)
+    assert arr[..., 3].min() == 255
+    assert arr[..., :3].max() > 0
+
+
+def test_webview_preview_switch(tmp_path):
+    """With a preview renderer (4-tuple build), key frames render on
+    the preview and key-free frames return to the full renderer."""
+    full, prev = StubRenderer(), StubRenderer()
+    prev.image = lambda: np.full((8, 8, 3), 0.5, np.float32)
+    port_file = tmp_path / "port"
+    args = types.SimpleNamespace(host="127.0.0.1", port=0,
+                                 port_file=str(port_file), frames=0,
+                                 linger=0.0)
+    rc = {}
+
+    def build(a):
+        return None, None, full, prev
+
+    t = threading.Thread(target=lambda: rc.setdefault(
+        "rc", serve(args, build)), daemon=True)
+    t.start()
+    for _ in range(100):
+        if port_file.exists() and port_file.read_text():
+            break
+        time.sleep(0.05)
+    base = f"http://127.0.0.1:{port_file.read_text()}"
+    try:
+        # Hold a key: frames switch to the 8x8 preview.
+        saw_preview = False
+        for _ in range(60):
+            _post(base + "/key", "j")
+            _, headers = _get_raw(base + "/frame.raw")
+            if int(headers["X-Frame-Width"]) == 8:
+                saw_preview = True
+                stats = json.loads(_get(base + "/stats"))
+                break
+            time.sleep(0.03)
+        assert saw_preview
+        assert prev.rots and full.rots  # camera mirrored to both
+        # Release: frames return to the 16x16 full renderer.
+        saw_full = False
+        for _ in range(60):
+            _, headers = _get_raw(base + "/frame.raw")
+            if int(headers["X-Frame-Width"]) == 16:
+                saw_full = True
+                break
+            time.sleep(0.03)
+        assert saw_full
+    finally:
+        try:
+            _post(base + "/key", "x")
+        except OSError:
+            pass
+        t.join(timeout=10)
+
+
 def test_webview_routes_and_keys(viewer):
     base, stub, t, rc = viewer
     page = _get(base + "/").decode()
