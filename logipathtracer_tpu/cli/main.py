@@ -18,6 +18,7 @@ with a real flag surface:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -100,8 +101,8 @@ def _build(args):
         # TPU runs only: XLA:CPU executable (de)serialization segfaults
         # intermittently on this host (utils/cache.py docstring).
         os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from logipathtracer_tpu.utils.cache import configure_compile_cache
+    configure_compile_cache(jax, cache, cpu=args.cpu or not cache)
     cfg = _make_cfg(args, args.width, args.height)
     log.info("loading %s", args.scene)
     gltf = load_gltf(args.scene)
@@ -124,7 +125,16 @@ def _build_web(args):
     ph = max(64, args.height // scale)
     gltf = load_gltf(args.scene)
     log.info("compiling %dx%d navigation preview scene", pw, ph)
-    _, preview = _compile_and_renderer(args, gltf, _make_cfg(args, pw, ph))
+    cfg_p = _make_cfg(args, pw, ph)
+    # Navigation preview trades fidelity for display rate in TWO ways:
+    # resolution (above) and path depth — a depth-limited preview cuts
+    # the per-frame wavefront iteration count ~depth-proportionally
+    # (the ~160 ms relay sync floor + per-iteration cost dominate small
+    # frames).  Converge frames are always full-depth/full-res.
+    pd = getattr(args, "preview_depth", 0)
+    if pd and pd < cfg_p.max_depth:
+        cfg_p = dataclasses.replace(cfg_p, max_depth=pd)
+    _, preview = _compile_and_renderer(args, gltf, cfg_p)
     return cfg, scene, renderer, preview
 
 
@@ -339,6 +349,10 @@ def main(argv=None) -> int:
                          "the camera is moving (1 disables the preview "
                          "renderer; 4 = 16x fewer rays per navigation "
                          "frame, upscaled client-side)")
+    pw.add_argument("--preview-depth", type=int, default=4,
+                    help="max path depth for navigation-preview frames "
+                         "(0 = full depth; converge frames always use "
+                         "the full configured depth)")
     pw.add_argument("--settle-s", type=float, default=0.35,
                     help="seconds of camera stillness before switching "
                          "back from the navigation preview to full-res "

@@ -51,6 +51,9 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--preview-scale", type=int, default=4)
+    ap.add_argument("--preview-depth", type=int, default=4,
+                    help="max path depth for navigation frames (0 = "
+                         "full depth; matches `web --preview-depth`)")
     ap.add_argument("--nav-frames", type=int, default=12)
     ap.add_argument("--acc-frames", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
@@ -88,7 +91,8 @@ def main() -> int:
     if args.preview_scale > 1:
         pw = max(64, args.width // args.preview_scale)
         ph = max(64, args.height // args.preview_scale)
-        cfg_p = RenderConfig(width=pw, height=ph, max_depth=10)
+        cfg_p = RenderConfig(width=pw, height=ph,
+                             max_depth=(args.preview_depth or 10))
         rp = ProgressiveRenderer(compile_scene(gltf, cfg_p), cfg_p,
                                  host_seed=0)
     scene_compile_s = time.perf_counter() - t0
@@ -120,12 +124,17 @@ def main() -> int:
         ZeroDivisionError; throughput derives from the phase's own
         wall-clock totals."""
         frames = []
-        rays0 = renderer.total_rays
+        phase_rays = 0.0
         for i in range(n):
             if move:
                 renderer.rotate(1, 0.02)    # viewer 'j': dirty + reset
+            rays_before = renderer.total_rays
             t0 = time.perf_counter()
             _, blob, render_s, encode_s = present(renderer)
+            # Motion resets the renderer's counters, so a moved frame's
+            # rays are its post-frame total; still frames accumulate.
+            phase_rays += (renderer.total_rays if move
+                           else renderer.total_rays - rays_before)
             frames.append({"total_s": round(time.perf_counter() - t0, 4),
                            "render_s": round(render_s, 4),
                            "encode_s": round(encode_s, 4),
@@ -144,8 +153,7 @@ def main() -> int:
             # Wall-clock-derived (one sample per frame on this phase's
             # renderer; rays from the renderer's own counter delta).
             "samples_per_sec": round(n / wall, 3),
-            "mrays_per_sec": round(
-                (renderer.total_rays - rays0) / wall / 1e6, 3),
+            "mrays_per_sec": round(phase_rays / wall / 1e6, 3),
         }
 
     nav = run_phase(args.nav_frames, rp if rp is not None else r,
@@ -173,6 +181,8 @@ def main() -> int:
         "preview_resolution": (
             f"{rp.config.render_width}x{rp.config.render_height}"
             if rp is not None else None),
+        "preview_depth": (rp.config.max_depth if rp is not None
+                          else None),
         "device": str(jax.devices()[0]),
         "renderer": "wavefront" if r._use_wavefront() else "megakernel",
         "scene_compile_s": round(scene_compile_s, 2),

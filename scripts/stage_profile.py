@@ -13,6 +13,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# Location-stripped lowering for stable cache keys (utils/cache.py);
+# the cache DIR itself comes from the caller's env
+# (JAX_COMPILATION_CACHE_DIR — bench.py and the queue scripts set it).
+jax.config.update("jax_traceback_in_locations_limit", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
