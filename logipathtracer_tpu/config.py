@@ -114,26 +114,12 @@ class RenderConfig:
     compact_cap: int = 128        # compacted MT block width (rays per
                                   # Moller-Trumbore pass of one fired
                                   # cluster)
-    fill_fast: bool = False       # compact sweep: approx-reciprocal +
-                                  # Newton local-ray fill instead of 3
-                                  # exact divides per object (TPU-only;
-                                  # perturbs slab culls by <= 1 ulp —
-                                  # same near-tie class as fast 1/det)
     compact_worklist: bool = True  # resident compact sweep visits only
                                   # per-tile fired clusters (XLA world-
                                   # AABB prepass, scalar-prefetched
                                   # lists) instead of all clusters with
                                   # an in-kernel skip; parked/retired
                                   # tiles cost zero cluster steps
-    compact_fruspre: bool = False  # worklist prepass uses the per-TILE
-                                  # interval-arithmetic frustum mask
-                                  # (ops/frustum.py, O(tiles x C))
-                                  # instead of the per-ray world slab
-                                  # (O(rays x C)); bit-identical hits
-                                  # (superset fired sets, exact in-
-                                  # kernel slab gate, stable identical
-                                  # front-to-back key) — A/B knob,
-                                  # round 4
     stream_tile: int = 4096       # rays per streamed-sweep tile (bigger
                                   # tiles amortize the per-tile HBM
                                   # re-stream of the cluster data;
@@ -171,27 +157,11 @@ class RenderConfig:
                                   # cluster_wl_probe.py)
     stream_compact: bool = True   # streamed sweep uses the ray-
                                   # compaction MT update (compact_cap)
-    stream_submask: bool = False  # cluster-granular stream gates each
-                                  # 128-lane triangle sub-group of a
-                                  # visited cluster on a per-(tile,
-                                  # cluster) sub-AABB frustum submask
-                                  # (bit-identical; ~21-23% of the
-                                  # outside-class MT skippable at tile
-                                  # granularity, subaabb_stats round 4;
-                                  # default pending the queue-24
-                                  # hardware A/B)
     shade: str = "auto"           # auto | pallas | shade_interpret | jnp
                                   # (auto: fused Pallas shading kernel on
                                   #  TPU for untextured non-NEE Heitz
                                   #  configs, jnp elsewhere)
     shade_tile: int = 2048        # rays per Pallas shade tile
-    shade_rows: bool = False      # feed the gathered [R, 64] shade-
-                                  # table rows ROW-MAJOR into the
-                                  # Pallas kernel (in-VMEM per-tile
-                                  # transpose) instead of two [R, 32]
-                                  # XLA transposes through HBM.
-                                  # Bit-identical; untextured gather-
-                                  # form configs only (A/B queue 26)
     sort_rays: bool = True        # octant+Morton sort before each
                                   # intersect (coherence for the sweep)
     sort_variadic: bool = True    # wavefront sort carries the state
@@ -232,25 +202,6 @@ class RenderConfig:
                                   # iteration (alive coherence decays
                                   # slowly; >1 trades stale order for
                                   # skipped sort passes)
-    loop_group: int = 1           # wavefront: body iterations per
-                                  # while-loop cond check (inner
-                                  # fori_loop of this trip count).  The
-                                  # dynamic-cond machinery costs ~11
-                                  # ms/iteration through the axon relay
-                                  # (queue 22: the same body runs 37.6
-                                  # ms/iter under fori vs 49.2 under
-                                  # while on outside 512^2); grouping
-                                  # amortizes it at the cost of up to
-                                  # loop_group-1 overshoot iterations
-                                  # past the stop condition — with pool
-                                  # carryover these are simply the
-                                  # first drain iterations (radiance
-                                  # unaffected; tile composition
-                                  # changes, so cross-cluster tie-break
-                                  # divergence class as usual), and in
-                                  # render_wavefront/drain they are
-                                  # no-ops (nothing alive or pending
-                                  # changes).
     lazy_regen: int = 0           # wavefront: 0 = refill free lanes
                                   # every iteration; k>0 = refill only
                                   # when free*k >= pool (regen cost is

@@ -81,8 +81,7 @@ def frustum_cluster_mask(rays8, cluster_min, cluster_max, tile: int,
     empty = o_lo[:, 0] > o_hi[:, 0]                  # all-parked tiles
 
     # Inverted boxes (min > max) are the never-fire convention for
-    # empty/padded slots (e.g. triangle-less sub-groups in
-    # scene/clusters.py::cluster_sub_aabbs).  They must be killed
+    # empty/padded slots.  They must be killed
     # EXPLICITLY: the min/max-normalizing slab below treats an
     # inverted box as a huge one and would fire it on every tile.
     dead_box = (cluster_min > cluster_max).any(axis=1)   # [C]

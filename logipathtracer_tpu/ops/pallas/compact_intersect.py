@@ -147,8 +147,7 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
                                  best_tri, best_obj, rconsts, slot_ids, *,
                                  g_n: int, cap: int, lanes: int,
                                  eps: float, fast: bool = True,
-                                 ablate: str = "", any_hit: bool = False,
-                                 submask=None, t_scr=None):
+                                 ablate: str = "", any_hit: bool = False):
     """Compact the slab-passing rays of ONE fired cluster into dense
     CAP-lane blocks (one-hot MXU matmuls), Möller-Trumbore them
     (elementwise VPU with fast reciprocal), and scatter the
@@ -168,13 +167,6 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
     v5e: Mosaic rejects both bf16 cmpf AND int16 cmpi vector compares
     — "Target does not support this comparison".  The f32 compare +
     bf16 cast below is the narrowest supported build.)
-
-    ``submask`` (stream_cluster.py submask gate): a scalar i32 whose
-    bit sb covers triangle lanes [sb*128, (sb+1)*128); the MT runs
-    per 128-lane sub-group under pl.when into the ``t_scr`` [cap,
-    lanes] scratch (clear bits read the BIG fill — a proven-miss
-    sub-group contributes nothing to the min-reduce, so skipping it
-    is bit-identical; tests/test_submask.py pins the proof chain).
 
     ``ablate`` (probe-only, wrong results): 'norank' skips the roll
     prefix chain; 'ksmall' builds the one-hot and runs the gather/
@@ -196,10 +188,6 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
         rank_flat, n = _rank_roll(hit, lane_iota, sub_iota, g_n, tile)
     nb = jax.lax.convert_element_type(
         jnp.ceil(n * (1.0 / cap)), jnp.int32)
-    if submask is not None:
-        # Per-visit fill: blocks overwrite only set-bit sub-groups, so
-        # clear bits read BIG (miss) in every block's min-reduce.
-        t_scr[:] = jnp.full((cap, lanes), BIG, jnp.float32)
 
     def block_body(b, _):
         basef = jax.lax.convert_element_type(b, jnp.float32) * cap
@@ -220,16 +208,6 @@ def _compact_cluster_update_roll(hit, feats3, trib, tri_base, obj, best_t,
             acc = _dot_onehot(feats3, p_t, 6, ((1,), (1,)))  # [6, cap]
         if ablate == "nomt":
             t = acc[0][:, None] + trib[0][None, 0:lanes]  # [cap, S] dummy
-        elif submask is not None:
-            for sb in range(lanes // 128):
-                sl = slice(sb * 128, (sb + 1) * 128)
-
-                @pl.when(((submask >> sb) & 1) != 0)
-                def _(sl=sl):
-                    t_scr[:, sl] = _mt_cluster(
-                        acc[0], acc[1], acc[2], acc[3], acc[4], acc[5],
-                        trib[:, sl], eps, fast=fast)       # [cap, 128]
-            t = t_scr[:]                                   # [cap, S]
         else:
             t = _mt_cluster(acc[0], acc[1], acc[2], acc[3], acc[4],
                             acc[5], trib, eps, fast=fast)  # [cap, S]
@@ -285,7 +263,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
                   eps: float, tile: int, lanes: int,
                   cap: int, has_tmax: bool,
                   fast: bool = True,
-                  ablate: str = "", fill_fast: bool = False,
+                  ablate: str = "",
                   variant: str = "", any_hit: bool = False):
     """Shared body of the resident compaction kernels: sweep the
     clusters yielded by ``get_cluster(ci)`` for ci < ``trip`` (octant
@@ -308,7 +286,7 @@ def _compact_loop(get_cluster, trip, meta_ref, inv_ref, rays_ref,
     if ablate not in ("nofill", "floor0"):
         _fill_local_rays(
             lray, inv_ref, ox, oy, oz, dx, dy, dz, num_objects,
-            fast=(fill_fast or ablate == "fillfast") and fast)
+            fast=(ablate == "fillfast") and fast)
         if presplit:
             for ob in range(num_objects):
                 lray3[ob] = _split3(lray[ob, 0:6, :])
@@ -818,15 +796,14 @@ def cluster_intersect_worklist(cl_meta, cl_inv, cl_aabb, cl_tris,
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap", "eps",
                                              "interpret", "has_tmax",
-                                             "ablate",
-                                             "worklist", "fill_fast",
+                                             "ablate", "worklist",
                                              "variant", "any_hit"))
 def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
                               rays8, tile: int = 1024, cap: int = 128,
                               eps: float = 1e-4, interpret: bool = False,
                               has_tmax: bool = False,
                               ablate: str = "", worklist: bool = False,
-                              obj_world=None, fill_fast: bool = False,
+                              obj_world=None,
                               variant: str = "", any_hit: bool = False):
     """Closest hit via the compaction sweep; contract and array layouts
     identical to cluster_intersect_pallas (cluster_intersect.py).
@@ -859,8 +836,7 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     grid = (r // tile,)
     common = dict(num_objects=o, eps=eps, tile=tile,
                   lanes=lanes, cap=cap, has_tmax=has_tmax,
-                  fast=not interpret, ablate=ablate,
-                  fill_fast=fill_fast, variant=variant,
+                  fast=not interpret, ablate=ablate, variant=variant,
                   any_hit=any_hit)
     out_shape = [
         jax.ShapeDtypeStruct((r // tile, sub, 128), jnp.float32),
@@ -879,12 +855,8 @@ def cluster_intersect_compact(cl_meta, cl_inv, cl_order, cl_aabb, cl_tris,
     ]
 
     if worklist:
-        if "fruspre" in variant:
-            wl, wn = build_frustum_worklists(wmin, wmax, rays8, tile,
-                                             has_tmax=has_tmax)
-        else:
-            wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
-                                           has_tmax=has_tmax)
+        wl, wn = build_chunk_worklists(wmin, wmax, rays8, tile,
+                                       has_tmax=has_tmax)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # (wl, wn)
             grid=grid,

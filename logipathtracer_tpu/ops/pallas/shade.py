@@ -63,15 +63,6 @@ IN_K = 82
 # [R, 64] row gather and its transposes disappear from the shade stage.
 I_TRI = 18
 IN_K_SEL = 19
-# Row-feed variant (ts_rows given): the [R, 64] gathered shade-table
-# rows ride as a SECOND row-major operand and are transposed per tile
-# inside the kernel — the XLA-level [R, 32].T transposes and the
-# slice materialization of the gather output disappear from the HBM
-# path (queue-25 shade split: gathers ~9 + rows ~3 ms standalone on
-# cornell, most of it the transpose/materialization around the ~5.5 ms
-# per-row gather floor).  Untextured configs only (the texture
-# prologue rewrites oshade before the kernel).
-IN_K_ROWS = 18
 # Textured configs (tex=True) append the material-resolution prologue's
 # normal-map output (render/megakernel.py::_shade_step_pallas computes
 # texture taps in XLA and overwrites the obj_shade material slots; the
@@ -170,11 +161,9 @@ def _dot(ax, ay, az, bx, by, bz):
 
 
 def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
-            nee: bool = False, tex: bool = False, tri_sel: bool = False,
-            ts_rows: bool = False):
+            nee: bool = False, tex: bool = False, tri_sel: bool = False):
     rest = list(rest)
     tri_ref = rest.pop(0) if tri_sel else None
-    ts_ref = rest.pop(0) if ts_rows else None
     if nee:
         lights_ref, out_ref = rest
     else:
@@ -221,12 +210,12 @@ def _kernel(in_ref, *rest, cfg_tuple, rand_kind: str, tile: int,
     def _():
         _shade_tile(in_ref, lights_ref, out_ref, cfg_tuple=cfg_tuple,
                     rand_kind=rand_kind, tile=tile, nee=nee, tex=tex,
-                    tri_ref=tri_ref, ts_ref=ts_ref)
+                    tri_ref=tri_ref)
 
 
 def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
                 tile: int, nee: bool = False, tex: bool = False,
-                tri_ref=None, ts_ref=None):
+                tri_ref=None):
     (env_r, env_g, env_b, eps, rr_threshold, rr_bounces, max_order,
      nee_mis, total_area) = cfg_tuple
     rand = _rand_parity if rand_kind == "parity" else _rand_threefry
@@ -261,14 +250,6 @@ def _shade_tile(in_ref, lights_ref, out_ref, *, cfg_tuple, rand_kind: str,
         ts = _dot_onehot(tri_ref[:, :], oh, 64, ((1,), (0,)))
         tsh = lambda k: ts[k]
         osh = lambda k: ts[32 + k]
-    elif ts_ref is not None:
-        # Row-feed form: the [tile, 64] gathered rows transpose ONCE
-        # in VMEM (in-register relayout) instead of two [R, 32] XLA
-        # transposes through HBM.  Values are the same gather output,
-        # so every downstream op sees bit-identical inputs.
-        ts_t = ts_ref[...].T  # [64, tile]
-        tsh = lambda k: ts_t[k]
-        osh = lambda k: ts_t[32 + k]
     else:
         tsh = lambda k: f(I_TSH + k)
         osh = lambda k: f(I_OSH + k)
@@ -783,8 +764,7 @@ def build_tri_block(tri_shade):
                                              "tile", "interpret", "nee"))
 def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
                  tile: int = 2048, interpret: bool = False,
-                 nee: bool = False, light_block=None, tri_block=None,
-                 ts_rows=None):
+                 nee: bool = False, light_block=None, tri_block=None):
     """Apply the fused shading kernel.
 
     state_rows: [IN_K, R] f32 (R multiple of ``tile``; ints bitcast).
@@ -799,25 +779,17 @@ def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
     tri_block: (from build_tri_block) in-kernel shade-table selection —
     state_rows is then the [IN_K_SEL, R] form (triangle-id row instead
     of 64 gathered table rows; untextured configs only).
-    ts_rows: [R, 64] gathered shade-table rows fed ROW-MAJOR —
-    state_rows is then the [IN_K_ROWS, R] form (no tshade/oshade rows;
-    the kernel transposes each [tile, 64] block in VMEM; untextured
-    configs only, bit-identical to the transposed-rows form).
     Returns [OUT_K or OUT_K_NEE, R] f32.
     """
     k, r = state_rows.shape
     tri_sel = tri_block is not None
-    rows_form = ts_rows is not None
     tex = k == IN_K_TEX
-    assert not (tri_sel and rows_form)
     assert (k == IN_K_SEL if tri_sel else
-            k == IN_K_ROWS if rows_form else
             k in (IN_K, IN_K_TEX)) and r % tile == 0
     out_k = OUT_K_NEE if nee else OUT_K
     kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
                                rand_kind=rand_kind, tile=tile, nee=nee,
-                               tex=tex, tri_sel=tri_sel,
-                               ts_rows=rows_form)
+                               tex=tex, tri_sel=tri_sel)
     in_specs = [pl.BlockSpec((k, tile), lambda g: (0, g),
                              memory_space=pltpu.VMEM)]
     args = [state_rows]
@@ -825,11 +797,6 @@ def shade_pallas(state_rows, cfg_tuple, rand_kind: str = "parity",
         in_specs.append(pl.BlockSpec(tri_block.shape, lambda g: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(tri_block)
-    if rows_form:
-        assert ts_rows.shape == (r, 64)
-        in_specs.append(pl.BlockSpec((tile, 64), lambda g: (g, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(ts_rows)
     if nee:
         lb = light_block
         in_specs.append(pl.BlockSpec(lb.shape, lambda g: (0, 0),

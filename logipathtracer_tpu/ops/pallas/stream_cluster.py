@@ -50,46 +50,8 @@ from logipathtracer_tpu.ops.pallas.compact_intersect import (
     _vmem_params)
 
 
-def _sub_world_bounds(cl_meta, cl_sub, obj_world):
-    """World-space AABBs of every cluster's 128-lane triangle
-    sub-groups: transform each local sub box's 8 corners by the owning
-    object's world matrix and bound (the chunk_world_bounds recipe at
-    sub-group granularity).
-
-    cl_sub: [C, ns, 6] from scene/clusters.py::cluster_sub_aabbs.
-    Returns (wmin, wmax) each [C*ns, 3], flattened so the frustum mask
-    treats sub-groups as C*ns independent cull boxes; empty sub-groups
-    (inverted local bounds) come out inverted (INF, -INF) — the
-    frustum mask's explicit dead-box kill keeps their bits clear.
-    """
-    c, ns, _ = cl_sub.shape
-    amin = cl_sub[:, :, 0:3].reshape(c * ns, 3)
-    amax = cl_sub[:, :, 3:6].reshape(c * ns, 3)
-    empty = amin[:, 0] > amax[:, 0]
-    # Keep the corner arithmetic finite for empty slots (1e30-scale
-    # sentinels times matrix rows can overflow): the result is
-    # discarded by the where below.
-    amin_s = jnp.where(empty[:, None], 0.0, amin)
-    amax_s = jnp.where(empty[:, None], 0.0, amax)
-    picks = jnp.asarray(
-        [[(ci >> 2) & 1, (ci >> 1) & 1, ci & 1] for ci in range(8)],
-        jnp.float32)                                      # [8, 3]
-    corners = (amin_s[:, None, :] * (1.0 - picks[None])
-               + amax_s[:, None, :] * picks[None])        # [C*ns, 8, 3]
-    mats = jnp.repeat(
-        jnp.take(obj_world, jnp.maximum(cl_meta[:, 0], 0), axis=0),
-        ns, axis=0)                                       # [C*ns, 4, 4]
-    wc = (jnp.einsum("cij,ckj->cki", mats[:, :3, :3], corners,
-                     precision=jax.lax.Precision.HIGHEST)
-          + mats[:, None, :3, 3])                         # [C*ns, 8, 3]
-    wmin = jnp.where(empty[:, None], INF, wc.min(axis=1))
-    wmax = jnp.where(empty[:, None], -INF, wc.max(axis=1))
-    return wmin, wmax
-
-
 def build_cluster_worklists(wmin, wmax, rays8, tile: int,
-                            has_tmax: bool = False, chunk_gate: int = 0,
-                            sub_bounds=None):
+                            has_tmax: bool = False, chunk_gate: int = 0):
     """Per-tile fired-CLUSTER lists, front-to-back.
 
     wmin/wmax: [C, 3] per-cluster world AABBs.  Returns (wl [tiles, C]
@@ -103,13 +65,6 @@ def build_cluster_worklists(wmin, wmax, rays8, tile: int,
     overfires — measured tightness tradeoff in scripts/frustum_stats).
     Parked pools (origins at the 1e30 park) come out with wn == 0 via
     the frustum live mask.
-
-    With ``sub_bounds`` = (ws_min, ws_max) [C*ns, 3] world sub-group
-    boxes (_sub_world_bounds), each entry packs the tile's ns-bit
-    frustum submask above the cluster id ((sm << 16) | c); clusters
-    with NO live sub bit are dropped from the list entirely (the sub
-    union is tighter than the cluster AABB), preserving the
-    front-to-back order of the kept set (stable argsort, same key).
     """
     r = rays8.shape[1]
     tiles = r // tile
@@ -166,18 +121,6 @@ def build_cluster_worklists(wmin, wmax, rays8, tile: int,
         cfired = cfired.transpose(0, 2, 1).reshape(tiles, -1)  # [T, NC]
         fired = fired & jnp.repeat(cfired, chunk_gate, axis=1)[:, :c]
 
-    if sub_bounds is not None:
-        ws_min, ws_max = sub_bounds
-        ns = ws_min.shape[0] // c
-        assert ws_min.shape[0] == c * ns and c <= 0xFFFF and ns <= 15
-        bits = frustum_cluster_mask(
-            rays8, ws_min, ws_max, tile,
-            best_hint=rays8[6] if has_tmax else None)      # [T, C*ns]
-        weights = (1 << jnp.arange(ns, dtype=jnp.int32))
-        sm = jnp.sum(bits.reshape(tiles, c, ns).astype(jnp.int32)
-                     * weights[None, None], axis=2)        # [T, C]
-        fired = fired & (sm > 0)
-
     centroid = 0.5 * (wmin + wmax)                         # [C, 3]
     dx = rays8[3].reshape(tiles, tile)
     dy = rays8[4].reshape(tiles, tile)
@@ -189,29 +132,20 @@ def build_cluster_worklists(wmin, wmax, rays8, tile: int,
     key = jnp.where(fired, key, jnp.inf)
     wl = jnp.argsort(key, axis=1).astype(jnp.int32)
     wn = jnp.sum(fired.astype(jnp.int32), axis=1)
-    if sub_bounds is not None:
-        sm_sorted = jnp.take_along_axis(sm, wl, axis=1)
-        wl = wl | (sm_sorted << 16)
     return wl, wn
 
 
 def _cluster_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, aabb_ref,
                        rays_ref, tris_hbm, t_out, tri_out, obj_out,
-                       tris_buf, sem, best_t, best_tri, best_obj,
-                       t_scr=None, *,
+                       tris_buf, sem, best_t, best_tri, best_obj, *,
                        eps: float, tile: int, lanes: int, cap: int,
                        has_tmax: bool, nbuf: int, fast: bool = True,
-                       any_hit: bool = False, ns: int = 0):
+                       any_hit: bool = False):
     """Grid (ray tiles,): dynamic trip over the tile's fired-cluster
     list, NBUF-deep manual double buffering of the per-cluster
     [16, lanes] triangle blocks (per-visit compute ~ the 32 KB DMA
     latency, so 2 slots are not enough to hide it — the chunk kernel's
-    512 KB blocks amortized it, these need depth instead).
-
-    ``ns`` > 0: worklist entries pack an ns-bit sub-AABB frustum
-    submask above the cluster id; the MT is gated per 128-lane
-    triangle sub-group (bit-identical — a clear bit has no exact slab
-    pass by containment + frustum superset, tests/test_submask.py)."""
+    512 KB blocks amortized it, these need depth instead)."""
     i = pl.program_id(0)
     n = wn_ref[i]
     g_n = tile // 128
@@ -231,7 +165,7 @@ def _cluster_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, aabb_ref,
     consts = _roll_prefix_consts(g_n, cap, tile)
 
     def get_dma(slot, widx):
-        jc = (wl_ref[i, widx] & 0xFFFF) if ns else wl_ref[i, widx]
+        jc = wl_ref[i, widx]
         return pltpu.make_async_copy(
             tris_hbm.at[pl.ds(jc, 1)], tris_buf.at[slot], sem.at[slot])
 
@@ -247,9 +181,7 @@ def _cluster_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, aabb_ref,
         def _():
             get_dma(jax.lax.rem(j + nbuf - 1, nbuf), j + nbuf - 1).start()
 
-        entry = wl_ref[i, j]
-        jc = (entry & 0xFFFF) if ns else entry
-        sm = (entry >> 16) if ns else None
+        jc = wl_ref[i, j]
         obj = meta_ref[0, jc]
         tri_base = meta_ref[1, jc]
         (lox, loy, loz, ldx, ldy, ldz, ix, iy, iz) = _local_ray(
@@ -269,7 +201,7 @@ def _cluster_wl_kernel(wl_ref, wn_ref, meta_ref, inv_ref, aabb_ref,
                 hit, _split3(feats6), tris_buf[slot, 0], tri_base,
                 obj, best_t, best_tri, best_obj, consts, slot_ids,
                 g_n=g_n, cap=cap, lanes=lanes, eps=eps, fast=fast,
-                any_hit=any_hit, submask=sm, t_scr=t_scr)
+                any_hit=any_hit)
 
         return 0
 
@@ -287,20 +219,13 @@ def cluster_intersect_stream_cl(cl_meta, cl_inv, cl_aabb, cl_tris,
                                 obj_world, rays8, tile: int = 4096,
                                 eps: float = 1e-4, has_tmax: bool = False,
                                 cap: int = 32, any_hit: bool = False,
-                                nbuf: int = 4, chunk_gate: int = 0,
-                                cl_sub=None):
+                                nbuf: int = 4, chunk_gate: int = 0):
     """Closest hit via the cluster-granular worklist stream sweep.
 
     Contract and array layouts identical to cluster_intersect_worklist
     (compact_intersect.py); TPU-only (manual-DMA loop).  ``tile`` must
     be a multiple of 1024 (whole (8, 128) vector tiles — the Mosaic
     1-D<->2-D reshape limit, same as the chunk worklist kernel).
-
-    ``cl_sub`` [C, S//128, 6] (scene.cl_sub_aabb) enables the sub-AABB
-    submask: the prepass drops clusters with no live sub bit and the
-    kernel's MT skips clear-bit 128-lane triangle sub-groups —
-    bit-identical (containment + frustum superset), ~21-23% of the
-    outside-class MT skippable at tile granularity (ROADMAP round 4).
     """
     r = rays8.shape[1]
     c, _, lanes = cl_tris.shape
@@ -319,18 +244,13 @@ def cluster_intersect_stream_cl(cl_meta, cl_inv, cl_aabb, cl_tris,
         [cl_tris, jnp.zeros((c, 7, lanes), jnp.float32)], axis=1)
 
     wmin, wmax = chunk_world_bounds(cl_meta, cl_aabb, obj_world, c, c, 1)
-    sub_bounds = (None if cl_sub is None
-                  else _sub_world_bounds(cl_meta, cl_sub, obj_world))
     wl, wn = build_cluster_worklists(wmin, wmax, rays8, tile,
                                      has_tmax=has_tmax,
-                                     chunk_gate=chunk_gate,
-                                     sub_bounds=sub_bounds)
-    ns = 0 if cl_sub is None else cl_sub.shape[1]
+                                     chunk_gate=chunk_gate)
 
     kernel = functools.partial(
         _cluster_wl_kernel, eps=eps, tile=tile, lanes=lanes, cap=cap,
-        has_tmax=has_tmax, nbuf=nbuf, fast=True, any_hit=any_hit,
-        ns=ns)
+        has_tmax=has_tmax, nbuf=nbuf, fast=True, any_hit=any_hit)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # (wl, wn)
@@ -352,8 +272,7 @@ def cluster_intersect_stream_cl(cl_meta, cl_inv, cl_aabb, cl_tris,
             pltpu.VMEM((sub, 128), jnp.float32),            # best_t
             pltpu.VMEM((sub, 128), jnp.int32),              # best_tri
             pltpu.VMEM((sub, 128), jnp.int32),              # best_obj
-        ] + ([pltpu.VMEM((cap, lanes), jnp.float32)]        # submask t
-             if ns else []),
+        ],
     )
     outs = pl.pallas_call(
         kernel,

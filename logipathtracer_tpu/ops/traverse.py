@@ -167,9 +167,8 @@ def _pack_rays8(origin, direction, tile: int, t_max, cm: bool):
 def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
                           tile: int = 1024, backend: str = "pallas",
                           t_max=None, cap: int = 128,
-                          worklist: bool = False,
-                          fill_fast: bool = False, cm: bool = False,
-                          any_hit: bool = False, variant: str = ""):
+                          worklist: bool = False, cm: bool = False,
+                          any_hit: bool = False):
     """Closest hit via the gather-free cluster sweep
     (ops/pallas/cluster_intersect.py) or, with backend="compact", the
     per-cluster ray-compaction sweep (ops/pallas/compact_intersect.py;
@@ -195,9 +194,7 @@ def intersect_scene_sweep(scene, origin, direction, eps: float = 1e-4,
             has_tmax=t_max is not None,
             worklist=worklist,
             obj_world=scene.obj_world if worklist else None,
-            fill_fast=fill_fast,
-            any_hit=any_hit and t_max is not None,
-            variant=variant)
+            any_hit=any_hit and t_max is not None)
     else:
         t, tri, obj = cluster_intersect_pallas(
             scene.cl_meta, inv_rows, scene.cl_order, scene.cl_aabb,
@@ -253,8 +250,7 @@ def intersect_scene_worklist(scene, origin, direction, eps: float = 1e-4,
 def intersect_scene_cluster_wl(scene, origin, direction, eps: float = 1e-4,
                                tile: int = 4096, t_max=None, cap: int = 32,
                                cm: bool = False, any_hit: bool = False,
-                               nbuf: int = 4, chunk_gate: int = 0,
-                               submask: bool = False):
+                               nbuf: int = 4, chunk_gate: int = 0):
     """Closest hit via the cluster-granular worklist stream sweep
     (ops/pallas/stream_cluster.py) — the TPU production path for
     beyond-VMEM scenes (cfg.stream_granularity="cluster").  Same
@@ -269,9 +265,7 @@ def intersect_scene_cluster_wl(scene, origin, direction, eps: float = 1e-4,
         scene.obj_world, rays8, tile=tile, eps=eps,
         has_tmax=t_max is not None, cap=cap,
         any_hit=any_hit and t_max is not None, nbuf=nbuf,
-        chunk_gate=chunk_gate,
-        cl_sub=(getattr(scene, "cl_sub_aabb", None) if submask
-                else None))
+        chunk_gate=chunk_gate)
     return t[:r], obj[:r], tri[:r]
 
 

@@ -149,9 +149,7 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
             intersect_scene_sweep(
                 s, o, d, eps=eps, tile=cfg.compact_tile, backend=mode,
                 t_max=t_max, cap=cfg.compact_cap,
-                worklist=cfg.compact_worklist,
-                fill_fast=cfg.fill_fast, cm=cm, any_hit=any_hit,
-                variant="fruspre" if cfg.compact_fruspre else "")
+                worklist=cfg.compact_worklist, cm=cm, any_hit=any_hit)
     if mode == "sweep_jnp":
         return lambda s, o, d, eps, t_max=None, any_hit=False: \
             intersect_scene_sweep(
@@ -170,8 +168,7 @@ def pick_intersect(cfg: RenderConfig, scene=None, cm: bool = False):
                 return lambda s, o, d, eps, t_max=None, any_hit=False: \
                     intersect_scene_cluster_wl(
                         s, o, d, eps=eps, tile=cfg.stream_tile,
-                        t_max=t_max, cap=cap, cm=cm, any_hit=any_hit,
-                        submask=cfg.stream_submask)
+                        t_max=t_max, cap=cap, cm=cm, any_hit=any_hit)
             from logipathtracer_tpu.ops.traverse import \
                 intersect_scene_worklist
             return lambda s, o, d, eps, t_max=None, any_hit=False: \
@@ -431,19 +428,10 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
         bf(bounce_v)[None, :],
     ]
     tri_block = None
-    ts_rows = None
     if tri_sel:
         tri_block = ps.build_tri_block(scene.tri_shade)
         rows = jnp.concatenate(
             state_rows + [bf(safe_tri)[None, :]], axis=0)  # [IN_K_SEL, R]
-    elif cfg.shade_rows and not scene.has_textures:
-        # Row-feed form (shade.py IN_K_ROWS): the gathered [R, 64]
-        # table rows go to the kernel ROW-MAJOR and transpose per tile
-        # in VMEM — the two [R, 32] XLA transposes and the gather
-        # slice materialization never touch HBM (queue-25 shade
-        # split).  Bit-identical: same gather values, same kernel ops.
-        ts_rows = jnp.take(scene.tri_shade, safe_tri, axis=0)  # [R, 64]
-        rows = jnp.concatenate(state_rows, axis=0)     # [IN_K_ROWS, R]
     else:
         # ONE [T, 64] row gather covers both shade tables (scene/
         # types.py tri_shade layout: cols 32:64 are the owning object's
@@ -470,9 +458,6 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
     if rp != r:
         pad = jnp.zeros((rows.shape[0], rp - r), rows.dtype)
         rows = jnp.concatenate([rows, pad], axis=1)
-        if ts_rows is not None:
-            ts_rows = jnp.concatenate(
-                [ts_rows, jnp.zeros((rp - r, 64), ts_rows.dtype)], axis=0)
 
     env = float(cfg.env_color)
     cfg_tuple = (env, env, env, float(cfg.eps), float(cfg.rr_threshold),
@@ -485,7 +470,7 @@ def _shade_step_pallas(scene, cfg: RenderConfig, origin, direction, acc,
                           else "threefry",
                           tile=tile, interpret=interpret, nee=nee,
                           light_block=light_block,
-                          tri_block=tri_block, ts_rows=ts_rows)[:, :r]
+                          tri_block=tri_block)[:, :r]
 
     bi = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     unrows = (lambda a: a) if cm else (lambda a: a.T)

@@ -556,18 +556,6 @@ def _make_body(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     return body
 
 
-def _group_body(cfg: RenderConfig, body):
-    """Wrap the per-iteration body in a static inner ``fori_loop`` of
-    ``cfg.loop_group`` trips so the while loop's dynamic cond is
-    evaluated once per group — the cond machinery costs ~11 ms per
-    iteration through the relay (queue 22; see RenderConfig.loop_group
-    for the overshoot semantics)."""
-    g = max(cfg.loop_group, 1)
-    if g == 1:
-        return body
-    return lambda st: jax.lax.fori_loop(0, g, lambda _, s: body(s), st)
-
-
 @partial(jax.jit, static_argnames=("cfg", "pool", "flush_cap", "rows"))
 def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
                      pool: int = 1 << 20, flush_cap: int = 1 << 18,
@@ -616,7 +604,7 @@ def render_wavefront(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
     body = _make_body(scene, cfg, cam_world, fov_y, ubo_seeds, p, npix,
                       total, min(p, flush_cap), pix_coords)
 
-    state = jax.lax.while_loop(cond, _group_body(cfg, body), state)
+    state = jax.lax.while_loop(cond, body, state)
     accum = state["accum"]
     # A final full flush drains paths the while-exit left unflushed
     # (with sort_every > 1 the loop can exit between maintenance
@@ -669,7 +657,7 @@ def wavefront_chunk(scene, cfg: RenderConfig, cam_world, fov_y, ubo_seeds,
 
     state = dict(state, next_work=jnp.zeros((), jnp.int32),
                  it=jnp.zeros((), jnp.int32))
-    return jax.lax.while_loop(cond, _group_body(cfg, body), state)
+    return jax.lax.while_loop(cond, body, state)
 
 
 @partial(jax.jit, static_argnames=("cfg", "flush_cap", "rows"),
@@ -704,7 +692,7 @@ def wavefront_drain(scene, cfg: RenderConfig, state,
         return jnp.any(st["pending"]) & (st["it"] < max_iters)
 
     state = dict(state, it=jnp.zeros((), jnp.int32))
-    state = jax.lax.while_loop(cond, _group_body(cfg, body), state)
+    state = jax.lax.while_loop(cond, body, state)
     # Paranoia flush (mirrors render_wavefront's final flush; a no-op
     # unless max_iters cut the loop short).
     final_flush = state["pending"] & ~state["alive"]

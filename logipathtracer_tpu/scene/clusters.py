@@ -157,38 +157,6 @@ def build_clusters(scene, cluster_size: int = 128) -> ClusteredScene:
         cluster_size=cluster_size)
 
 
-def cluster_sub_aabbs(cl_tris: np.ndarray) -> np.ndarray:
-    """Object-local AABBs of each cluster's 128-lane triangle sub-groups.
-
-    cl_tris: [C, 9, S] (S % 128 == 0).  Returns [C, S//128, 6] f32 rows
-    (min.xyz, max.xyz) bounding every vertex of the sub-group's REAL
-    triangles (zero-edge padded lanes excluded); sub-groups with no
-    real triangle get INVERTED bounds (min=+BIG > max=-BIG), the
-    never-fire convention the frustum mask kills explicitly
-    (ops/frustum.py).  These are the cull boxes behind the stream
-    sweep's per-(tile, cluster) submask: a triangle hull lies inside
-    its sub-AABB, so a frustum-clear bit proves no ray in the tile can
-    accept an MT hit in that sub-group — skipping it is bit-identical
-    (ops/pallas/stream_cluster.py).
-    """
-    big = np.float32(1e30)
-    c, _, s = cl_tris.shape
-    assert s % 128 == 0
-    ns = s // 128
-    v0 = cl_tris[:, 0:3]                                  # [C, 3, S]
-    v1 = v0 + cl_tris[:, 3:6]
-    v2 = v0 + cl_tris[:, 6:9]
-    valid = np.abs(cl_tris[:, 3:9]).max(axis=1) > 0       # [C, S]
-    pts = np.stack([v0, v1, v2], axis=1)                  # [C, 3, 3, S]
-    pr = pts.reshape(c, 3, 3, ns, 128)
-    vr = valid.reshape(c, 1, 1, ns, 128)
-    lo = np.where(vr, pr, big).min(axis=(1, 4))           # [C, 3, ns]
-    hi = np.where(vr, pr, -big).max(axis=(1, 4))
-    return np.concatenate(
-        [lo.transpose(0, 2, 1), hi.transpose(0, 2, 1)],
-        axis=2).astype(np.float32)                        # [C, ns, 6]
-
-
 def cluster_stats(cs: ClusteredScene) -> dict:
     fill = cs.cl_count / cs.cluster_size
     return {

@@ -199,8 +199,7 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
 
     # Clustered sweep arrays (built from a lightweight stand-in SoA view
     # so clusters.py can run before the SceneSoA exists).
-    from logipathtracer_tpu.scene.clusters import (build_clusters,
-                                                   cluster_sub_aabbs)
+    from logipathtracer_tpu.scene.clusters import build_clusters
 
     class _View:
         pass
@@ -327,7 +326,6 @@ def compile_scene(gltf: Gltf, config: RenderConfig | None = None,
         cl_meta=cl_meta,
         cl_aabb=clustered.cl_aabb,
         cl_tris=clustered.cl_tris,
-        cl_sub_aabb=cluster_sub_aabbs(clustered.cl_tris),
         cl_order=cl_order,
         tri_shade=tri_shade,
         obj_shade=obj_shade,

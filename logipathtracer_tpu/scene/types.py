@@ -131,16 +131,6 @@ class SceneSoA:
                           #              area(1) pad(3); world space
     light_cdf: Any        # [L] f32 cumulative area / total_area
 
-    cl_sub_aabb: Any = None
-                          # [C, S//128, 6] f32 object-local AABBs of
-                          # each cluster's 128-lane triangle sub-groups
-                          # (min.xyz, max.xyz; empty sub-groups carry
-                          # inverted never-fire bounds) — the cull
-                          # boxes behind the stream sweep's per-(tile,
-                          # cluster) frustum submask
-                          # (scene/clusters.py::cluster_sub_aabbs,
-                          # ops/pallas/stream_cluster.py)
-
     tex_quad: Any = None  # [AH, AW, 4] u32 quad atlas (each texel's
                           # 2x2 bilinear neighborhood, wrap applied at
                           # pack time) — ONE wide row gather per tap
@@ -189,7 +179,7 @@ class SceneSoA:
         "tex_atlas", "tex_table", "tex_mip_base", "tex_mip_count",
         "cl_meta", "cl_aabb", "cl_tris", "cl_order",
         "tri_shade", "obj_shade", "world_aabb",
-        "light_tris", "light_cdf", "cl_sub_aabb", "tex_quad",
+        "light_tris", "light_cdf", "tex_quad",
     )
     _STATIC_FIELDS = ("num_objects", "num_triangles", "max_stack",
                       "leaf_width", "has_textures", "tex_slots",

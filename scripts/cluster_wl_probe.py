@@ -58,10 +58,6 @@ def main():
     ap.add_argument("--chunk-gate", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=16,
                     help="chunk worklist kernel's chunk size")
-    ap.add_argument("--submask", action="store_true",
-                    help="also run stream_cl with the per-(tile, "
-                         "cluster) sub-AABB submask (cl+sm) and "
-                         "hit-compare it against plain cl")
     args = ap.parse_args()
 
     from logipathtracer_tpu.config import RenderConfig
@@ -94,11 +90,7 @@ def main():
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, r8, tile=args.tile, cap=args.cap,
         nbuf=args.nbuf, chunk_gate=args.chunk_gate))
-    f_sm = jax.jit(lambda r8: cluster_intersect_stream_cl(
-        scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
-        scene.obj_world, r8, tile=args.tile, cap=args.cap,
-        nbuf=args.nbuf, chunk_gate=args.chunk_gate,
-        cl_sub=scene.cl_sub_aabb)) if args.submask else None
+    f_sm = None  # submask knob pruned round 5 (measured loss, queue 24)
     f_wl = jax.jit(lambda r8: cluster_intersect_worklist(
         scene.cl_meta, inv_rows, scene.cl_aabb, scene.cl_tris,
         scene.obj_world, r8, tile=args.tile, chunk=args.chunk,

@@ -61,9 +61,6 @@ def part_a(scene_gltf, args):
         "carryover(default)": dict(),
         "no_carryover": dict(pool_carryover=False),
         "granularity_chunk": dict(stream_granularity="chunk"),
-        "loop_group2": dict(loop_group=2),
-        "loop_group4": dict(loop_group=4),
-        "loop_group8": dict(loop_group=8),
     }
     if args.variants:
         want = args.variants.split(",")

@@ -52,23 +52,12 @@ def main():
     ap.add_argument("--no-worklist", action="store_true",
                     help="resident compact sweep: octant order over all "
                          "clusters instead of per-tile fired lists")
-    ap.add_argument("--fruspre", action="store_true",
-                    help="worklist prepass via the per-tile frustum "
-                         "mask (cfg.compact_fruspre; bit-identical, "
-                         "O(tiles x C) instead of O(rays x C))")
-    ap.add_argument("--fill-fast", action="store_true",
-                    help="compact sweep: approx-reciprocal local-ray "
-                         "fill (probe; wrong by <=1 ulp on slab culls)")
     ap.add_argument("--mxu", action="store_true",
                     help="(removed round 4: MXU MT pruned; ignored)")
     ap.add_argument("--no-sort-variadic", action="store_true",
                     help="sort via sort_key_val + wide row gather "
                          "(the round-2 production form) instead of "
                          "one variadic lax.sort")
-    ap.add_argument("--shade-rows", action="store_true",
-                    help="row-feed shade form (cfg.shade_rows): the "
-                         "[R, 64] gathered table rows go to the kernel "
-                         "row-major, transposed per tile in VMEM")
     ap.add_argument("--shade-split", action="store_true",
                     help="also time the shade stage's pieces: the two "
                          "32-wide shade-table row gathers, the "
@@ -94,10 +83,8 @@ def main():
     cfg = RenderConfig(width=args.res, height=args.res, max_depth=10,
                        shade=args.shade, nee=args.nee,
                        compact_worklist=not args.no_worklist,
-                       compact_fruspre=args.fruspre,
-                       fill_fast=args.fill_fast,
                        sort_variadic=not args.no_sort_variadic,
-                       pool_cm=args.cm, shade_rows=args.shade_rows)
+                       pool_cm=args.cm)
     cm = args.cm
     # Layout helpers (mirror render/wavefront.py): broadcast a per-lane
     # condition over vector state, pick component i, restack rows.

@@ -43,17 +43,14 @@ def test_compact_matches_bvh(cornell_scene, rng, cap, worklist):
     assert (tie | ~diff).all()
 
 
-@pytest.mark.parametrize("variant", ["presplit", "fruspre"])
+@pytest.mark.parametrize("variant", ["presplit"])
 def test_compact_variants_bit_identical(cornell_scene, rng, variant):
-    """Round-4 CORRECT-results kernel variants must be BIT-identical to
-    the baseline: 'presplit' (per-object hoisted _split3 — the same
-    values read from scratch instead of recomputed per cluster) and
-    'fruspre' (worklist prepass via the per-tile frustum mask — a
-    superset fired set whose extra clusters fail the in-kernel slab,
-    with the stable identical front-to-back key preserving the visit
-    order of commonly-fired clusters).
+    """CORRECT-results kernel variants must be BIT-identical to the
+    baseline: 'presplit' (per-object hoisted _split3 — the same values
+    read from scratch instead of recomputed per cluster).
     (A 16-bit one-hot compare variant was killed in round 4: Mosaic on
-    v5e rejects bf16 AND int16 vector compares.)"""
+    v5e rejects bf16 AND int16 vector compares; the 'fruspre' prepass
+    knob was pruned in round 5 — measured neutral, VERDICT r4 item 6.)"""
     from logipathtracer_tpu.ops.pallas.compact_intersect import \
         cluster_intersect_compact
     s = cornell_scene
@@ -72,8 +69,7 @@ def test_compact_variants_bit_identical(cornell_scene, rng, variant):
             obj_world=s.obj_world if worklist else None, variant=v,
             has_tmax=has_tmax)
 
-    worklists = (True,) if variant == "fruspre" else (False, True)
-    for wl in worklists:
+    for wl in (False, True):
         for r8, ht in ((rays8, False), (rays8_tmax, True)):
             base = run("", wl, r8, ht)
             got = run(variant, wl, r8, ht)

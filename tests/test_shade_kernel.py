@@ -239,46 +239,3 @@ def test_shade_tri_sel_matches_gather(monkeypatch):
             assert (a.view(np.int32) == b.view(np.int32)).all(), name
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
-
-
-@pytest.mark.parametrize("nee", [False, True])
-def test_shade_rows_matches_gather(monkeypatch, nee):
-    """The row-feed form (shade.py ts_rows: [R, 64] gathered table rows
-    transposed per tile in VMEM) must be BIT-identical to the
-    transposed-rows gather form — same gather values feed the same
-    kernel ops, so every output including RNG state matches exactly."""
-    import logipathtracer_tpu.render.megakernel as mk
-    from logipathtracer_tpu.scene.compile import compile_scene
-    from logipathtracer_tpu.scene.procedural import make_box_scene
-
-    scene = compile_scene(make_box_scene(spheres=2, subdiv=2))
-    monkeypatch.setattr(mk, "SHADE_SEL_MAX_TRIS", 0)  # force gather form
-    n = 512
-    cfg0, origin, direction, seed, t, obj, tri = _hit_state(scene, n)
-    acc = jnp.zeros((n, 3))
-    mask = jnp.ones((n, 3))
-    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
-    prev_pdf = jnp.zeros((n,), jnp.float32)
-    bounce = jnp.asarray(
-        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
-    from logipathtracer_tpu.ops.traverse import intersect_scene
-
-    def isect(s, o, d, eps, t_max=None, any_hit=False):
-        return intersect_scene(s, o, d, eps=eps, t_max=t_max,
-                               any_hit=any_hit)
-
-    outs = {}
-    for rows in (False, True):
-        cfg = cfg0.replace(shade="shade_interpret", shade_tile=256,
-                           nee=nee, shade_rows=rows)
-        outs[rows] = shade_step(scene, cfg, origin, direction, acc,
-                                mask, alive, seed, bounce, t, obj, tri,
-                                prev_pdf=prev_pdf, isect=isect)
-    out_gather, out_rows = outs[False], outs[True]
-    for name, a, b in zip(("origin", "direction", "acc", "mask", "alive",
-                           "seed", "prev_pdf"), out_gather, out_rows):
-        a, b = np.asarray(a), np.asarray(b)
-        if a.dtype.kind == "f":
-            assert (a.view(np.int32) == b.view(np.int32)).all(), name
-        else:
-            np.testing.assert_array_equal(a, b, err_msg=name)

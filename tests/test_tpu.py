@@ -143,44 +143,6 @@ def test_worklist_matches_grid_stream_on_hardware(cornell_scene):
     assert neq <= max(4, tws.size // 10_000), f"{neq} shadow mismatches"
 
 
-def test_stream_cl_submask_bit_identical(cornell_scene):
-    """The sub-AABB submask gate (stream_cluster.py) must be BIT-
-    identical to the ungated cluster-granular stream kernel: a clear
-    bit is proven to have no exact slab pass (containment + frustum
-    superset, tests/test_submask.py), and within a visit the gate only
-    removes sub-groups from the same min-reduce — unlike sweep-order
-    changes it cannot flip ties."""
-    from logipathtracer_tpu.ops.camera import generate_ray
-    from logipathtracer_tpu.ops.rng import seed_from_pixel
-    from logipathtracer_tpu.ops.traverse import intersect_scene_cluster_wl
-
-    scene = cornell_scene
-    cam = scene.cameras[0]
-    h = w = 128
-    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
-    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
-    o, d, _ = generate_ray(jnp.asarray(cam.world_matrix),
-                           jnp.float32(cam.yfov), pix, (w, h), seed)
-
-    if getattr(scene, "cl_sub_aabb", None) is None:
-        pytest.skip("sub-AABB submask not landed yet")
-    t0, o0, r0 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32)
-    t1, o1, r1 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
-                                            submask=True)
-    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
-    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
-    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
-    # shadow-query (any-hit) variant
-    tmax = jnp.full((h * w,), 0.35)
-    s0 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
-                                    t_max=tmax, any_hit=True)
-    s1 = intersect_scene_cluster_wl(scene, o, d, tile=1024, cap=32,
-                                    t_max=tmax, any_hit=True, submask=True)
-    np.testing.assert_array_equal(np.asarray(s0[0]), np.asarray(s1[0]))
-
-
 def test_flush_bins_matches_scatter_on_hardware(rng):
     """Dense bin-matmul flush (ops/pallas/flush.py) vs XLA scatter-add
     on a realistic pixid-sorted retired tail: identical accumulation
@@ -211,46 +173,3 @@ def test_flush_bins_matches_scatter_on_hardware(rng):
     assert (got[~touched] == accum0[~touched]).all()
 
 
-def test_shade_rows_bit_identical_on_hardware(cornell_scene):
-    """The row-feed shade form (shade.py ts_rows: in-VMEM per-tile
-    transpose of the [R, 64] gathered table rows) must match the
-    transposed-rows gather form bit-exactly on hardware — the Mosaic
-    relayout moves the same f32 values the XLA transposes move."""
-    from logipathtracer_tpu.config import RenderConfig
-    from logipathtracer_tpu.ops.camera import generate_ray
-    from logipathtracer_tpu.ops.rng import seed_from_pixel
-    from logipathtracer_tpu.ops.traverse import intersect_scene
-    from logipathtracer_tpu.render.megakernel import shade_step
-
-    scene = cornell_scene
-    assert scene.tri_shade.shape[0] > 512  # gather form, not tri_sel
-    cam = scene.cameras[0]
-    h = w = 128
-    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
-    seed = seed_from_pixel(jnp.asarray([48271, 16807], jnp.uint32), pix)
-    o, d, seed = generate_ray(jnp.asarray(cam.world_matrix),
-                              jnp.float32(cam.yfov), pix, (w, h), seed)
-    t, obj, tri = intersect_scene(scene, o, d, eps=1e-4)
-    n = h * w
-    acc = jnp.zeros((n, 3))
-    mask = jnp.ones((n, 3))
-    alive = jnp.asarray(np.random.default_rng(3).random(n) < 0.9)
-    bounce = jnp.asarray(
-        np.random.default_rng(5).integers(0, 8, n), jnp.int32)
-
-    outs = {}
-    for rows in (False, True):
-        cfg = RenderConfig(width=w, height=h, shade="pallas",
-                           shade_rows=rows)
-        outs[rows] = shade_step(scene, cfg, o, d, acc, mask, alive,
-                                seed, bounce, t, obj, tri)
-    for name, a, b in zip(("origin", "direction", "acc", "mask",
-                           "alive", "seed", "prev_pdf"),
-                          outs[False], outs[True]):
-        a, b = np.asarray(a), np.asarray(b)
-        if a.dtype.kind == "f":
-            assert (a.view(np.int32) == b.view(np.int32)).all(), name
-        else:
-            np.testing.assert_array_equal(a, b, err_msg=name)

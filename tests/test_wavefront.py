@@ -93,9 +93,7 @@ def test_progressive_wavefront_mode(cornell_scene):
 
 @pytest.mark.parametrize("knobs", [dict(sort_every=2),
                                    dict(lazy_regen=4),
-                                   dict(sort_every=3, lazy_regen=8),
-                                   dict(loop_group=3),
-                                   dict(loop_group=4, sort_every=2)])
+                                   dict(sort_every=3, lazy_regen=8)])
 def test_wavefront_scheduling_knobs_preserve_image(cornell_scene, knobs):
     """sort_every / lazy_regen change only WHEN maintenance passes run;
     per-work-item radiance (and traced-ray counts) must be unchanged."""
