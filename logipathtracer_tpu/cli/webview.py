@@ -322,13 +322,36 @@ def serve(args, build) -> int:
         settle_s = getattr(args, "settle_s", 0.35)
         last_key_t = float("-inf")
         frames = 0
-        while not state.quit.is_set():
+
+        def submit():
+            """Dispatch one frame without host syncs (deferred counter
+            fetches + device-side RGBA quantization); returns the
+            device frame handle + its renderer.  The loop fetches it
+            AFTER dispatching the next frame, overlapping frame N+1's
+            compute with frame N's relay transfer."""
             if _apply_keys(state, renderers) > 0:
+                nonlocal last_key_t
                 last_key_t = time.monotonic()
             moving = time.monotonic() - last_key_t < settle_s
             rr = rp if (moving and rp is not None) else r
-            rr.step(1)
-            img = to_uint8(np.asarray(rr.image()))
+            if hasattr(rr, "step_nosync") and hasattr(rr, "image_u8"):
+                rr.step_nosync(1)
+                frame = rr.image_u8()
+                try:
+                    frame.copy_to_host_async()
+                except Exception:
+                    pass
+            else:  # stub renderers (tests) lack the async surface
+                rr.step(1)
+                frame = None
+            return rr, frame
+
+        pending = submit()
+        while not state.quit.is_set():
+            nxt = (submit() if not state.quit.is_set() else None)
+            rr, frame = pending
+            img = (np.asarray(frame) if frame is not None
+                   else to_uint8(np.asarray(rr.image())))
             state.publish(img,
                           {"spp": rr.sample_count,
                            "samples_per_sec": round(rr.samples_per_sec(), 3),
@@ -340,6 +363,7 @@ def serve(args, build) -> int:
             frames += 1
             if args.frames and frames >= args.frames:
                 break
+            pending = nxt
         state.quit.set()
         # Publish the final stats (done=True) so polling clients stop.
         stats = state.snapshot_stats()

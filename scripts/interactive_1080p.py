@@ -97,61 +97,79 @@ def main() -> int:
                                  host_seed=0)
     scene_compile_s = time.perf_counter() - t0
 
-    def present(renderer):
-        """One viewer frame on the raw-blit path: advance one sample,
-        fetch, and produce the bytes /frame.raw would serve."""
-        t_step = time.perf_counter()
-        renderer.step(1)
-        img = np.asarray(renderer.image())  # drain + tonemap + fetch
-        t_fetch = time.perf_counter()
-        u8 = to_uint8(img)
-        rgba = np.empty(u8.shape[:2] + (4,), np.uint8)
-        rgba[..., :3] = u8
-        rgba[..., 3] = 255
-        blob = rgba.tobytes()               # what the HTTP thread sends
-        t_done = time.perf_counter()
-        return u8, blob, t_fetch - t_step, t_done - t_fetch
+    def submit(renderer, move):
+        """Dispatch one viewer frame WITHOUT host syncs: advance one
+        sample (deferred counter fetches, progressive.step_nosync) and
+        return the device-side uint8 RGBA frame handle.  The caller
+        fetches it AFTER dispatching the next frame, so frame N+1's
+        device compute overlaps frame N's relay transfer — the
+        double-buffered present the web viewer runs."""
+        if move:
+            renderer.rotate(1, 0.02)        # viewer 'j': dirty + reset
+        renderer.step_nosync(1)
+        frame = renderer.image_u8()         # dispatch drain + tonemap
+        try:
+            frame.copy_to_host_async()
+        except Exception:
+            pass
+        return frame
+
+    def present_sync(renderer):
+        """Non-pipelined frame (warmup / phase boundaries)."""
+        t0 = time.perf_counter()
+        frame = submit(renderer, move=False)
+        rgba = np.asarray(frame)
+        return rgba, time.perf_counter() - t0
 
     # Warmup both render graphs (one shape each).
     t0 = time.perf_counter()
-    present(r)
+    present_sync(r)
     if rp is not None:
-        present(rp)
+        present_sync(rp)
     warmup_s = time.perf_counter() - t0
 
     def run_phase(n, renderer, move):
-        """ADVICE r4: n == 0 yields an empty-phase record instead of
-        ZeroDivisionError; throughput derives from the phase's own
-        wall-clock totals."""
-        frames = []
-        phase_rays = 0.0
-        for i in range(n):
-            if move:
-                renderer.rotate(1, 0.02)    # viewer 'j': dirty + reset
-            rays_before = renderer.total_rays
-            t0 = time.perf_counter()
-            _, blob, render_s, encode_s = present(renderer)
-            # Motion resets the renderer's counters, so a moved frame's
-            # rays are its post-frame total; still frames accumulate.
-            phase_rays += (renderer.total_rays if move
-                           else renderer.total_rays - rays_before)
-            frames.append({"total_s": round(time.perf_counter() - t0, 4),
-                           "render_s": round(render_s, 4),
-                           "encode_s": round(encode_s, 4),
-                           "blob_bytes": len(blob)})
-        if not frames:
+        """Pipelined phase: n presented frames, each fetched after the
+        NEXT frame's dispatch.  Frame time = present-to-present
+        interval (what a viewer client experiences).  ADVICE r4: n == 0
+        yields an empty-phase record; throughput derives from the
+        phase's own wall-clock totals."""
+        if n == 0:
             return {"frames": [], "fps_mean": None, "fps_best": None,
                     "frame_ms_median": None, "samples_per_sec": None,
                     "mrays_per_sec": None}
+        frames = []
+        rays_start = renderer.total_rays
+        pending = submit(renderer, move)
+        t_prev = time.perf_counter()
+        t_phase = t_prev
+        for i in range(n):
+            nxt = submit(renderer, move) if i + 1 < n else None
+            t_fetch0 = time.perf_counter()
+            rgba = np.asarray(pending)
+            t_fetch1 = time.perf_counter()
+            blob = rgba.tobytes()
+            now = time.perf_counter()
+            frames.append({"total_s": round(now - t_prev, 4),
+                           "fetch_s": round(t_fetch1 - t_fetch0, 4),
+                           "encode_s": round(now - t_fetch1, 4),
+                           "blob_bytes": len(blob)})
+            t_prev = now
+            pending = nxt
+        wall = time.perf_counter() - t_phase
+        # Ray accounting: still phases accumulate (total delta); moved
+        # phases reset per frame, so scale the LAST frame's count (all
+        # nav frames trace the same fresh-1spp workload).
+        if move:
+            phase_rays = n * renderer.total_rays
+        else:
+            phase_rays = renderer.total_rays - rays_start
         total = [f["total_s"] for f in frames]
-        wall = sum(total)
         return {
             "frames": frames,
             "fps_mean": round(n / wall, 3),
             "fps_best": round(1.0 / min(total), 3),
             "frame_ms_median": round(sorted(total)[n // 2] * 1e3, 1),
-            # Wall-clock-derived (one sample per frame on this phase's
-            # renderer; rays from the renderer's own counter delta).
             "samples_per_sec": round(n / wall, 3),
             "mrays_per_sec": round(phase_rays / wall / 1e6, 3),
         }

@@ -147,9 +147,11 @@ def main() -> int:
         _stage("viewer 1920x1080 (chunk 1)",
                lambda: step_once(RenderConfig(width=1920, height=1080,
                                               max_depth=10), 1), done)
-        _stage("viewer preview 480x270 (chunk 1)",
+        # The navigation preview defaults to depth 4 (cli/main.py
+        # --preview-depth); warm that exact shape.
+        _stage("viewer preview 480x270 depth4 (chunk 1)",
                lambda: step_once(RenderConfig(width=480, height=270,
-                                              max_depth=10), 1), done)
+                                              max_depth=4), 1), done)
 
     print(f"[prewarm] done {len(done)} stages in "
           f"{time.perf_counter() - t_all:.1f}s: {', '.join(done)}",
