@@ -74,3 +74,38 @@ def test_missing_camera_raises():
     scene = compile_scene(gltf, CFG)
     with pytest.raises(ValueError, match="no camera"):
         ProgressiveRenderer(scene, CFG)
+
+
+def test_step_nosync_matches_step(cornell_scene):
+    """step_nosync defers only the counter fetches: radiance, sample
+    count, and the settled ray totals must match step() exactly (same
+    seeds => same chunks).  Uses the wavefront path, where the deferred
+    bookkeeping lives."""
+    cfg = RenderConfig(width=16, height=16, max_depth=3, intersect="bvh",
+                       renderer="wavefront", pool_size=128)
+    a = ProgressiveRenderer(cornell_scene, cfg, host_seed=3)
+    b = ProgressiveRenderer(cornell_scene, cfg, host_seed=3)
+    a.step(2)
+    b.step_nosync(2)
+    # Stats access settles the deferred counters.
+    assert b.total_rays == a.total_rays
+    assert b.sample_count == a.sample_count
+    np.testing.assert_array_equal(a.radiance(), b.radiance())
+    # Another chunk each way (mixed sync modes keep the totals linear).
+    a.step_nosync(1)
+    b.step(1)
+    assert b.total_rays == a.total_rays
+    np.testing.assert_array_equal(a.radiance(), b.radiance())
+
+
+def test_image_u8_matches_host_quantization(cornell_scene):
+    """image_u8 (device-side RGBA quantization, the viewer present
+    path) must equal the host-side to_uint8(image()) + alpha fill."""
+    from logipathtracer_tpu.film.image import to_uint8
+    r = ProgressiveRenderer(cornell_scene, CFG, host_seed=2)
+    r.step(2)
+    host = to_uint8(np.asarray(r.image()))
+    dev = np.asarray(r.image_u8())
+    assert dev.shape == host.shape[:2] + (4,)
+    np.testing.assert_array_equal(dev[..., :3], host)
+    assert (dev[..., 3] == 255).all()
