@@ -357,6 +357,12 @@ def main(argv=None) -> int:
                     help="seconds of camera stillness before switching "
                          "back from the navigation preview to full-res "
                          "accumulation")
+    pw.add_argument("--spp-per-frame", type=int, default=1,
+                    help="samples accumulated per converge present "
+                         "(each present pays a full pool drain; "
+                         "batching amortizes it — higher converge "
+                         "throughput, lower present rate; navigation "
+                         "frames always render 1 spp)")
     pw.add_argument("--linger", type=float, default=0.0,
                     help="with --frames: keep serving this many seconds "
                          "after the last frame (screenshot window)")

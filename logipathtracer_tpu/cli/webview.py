@@ -334,15 +334,22 @@ def serve(args, build) -> int:
                 last_key_t = time.monotonic()
             moving = time.monotonic() - last_key_t < settle_s
             rr = rp if (moving and rp is not None) else r
+            # Converge frames may carry several samples per present
+            # (--spp-per-frame): each present pays a full pool drain
+            # (exactness on read), so batching samples amortizes the
+            # drain tail; navigation stays 1 spp/frame (reference
+            # reset protocol).
+            spp = 1 if rr is rp else max(
+                int(getattr(args, "spp_per_frame", 1)), 1)
             if hasattr(rr, "step_nosync") and hasattr(rr, "image_u8"):
-                rr.step_nosync(1)
+                rr.step_nosync(spp)
                 frame = rr.image_u8()
                 try:
                     frame.copy_to_host_async()
                 except Exception:
                     pass
             else:  # stub renderers (tests) lack the async surface
-                rr.step(1)
+                rr.step(spp)
                 frame = None
             return rr, frame
 

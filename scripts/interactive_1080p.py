@@ -56,6 +56,10 @@ def main() -> int:
                          "full depth; matches `web --preview-depth`)")
     ap.add_argument("--nav-frames", type=int, default=12)
     ap.add_argument("--acc-frames", type=int, default=12)
+    ap.add_argument("--acc-spp", type=int, default=1,
+                    help="samples per converge present (matches `web "
+                         "--spp-per-frame`; each present pays a full "
+                         "pool drain, so batching amortizes it)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="renders/interactive_1080p")
     args = ap.parse_args()
@@ -97,16 +101,16 @@ def main() -> int:
                                  host_seed=0)
     scene_compile_s = time.perf_counter() - t0
 
-    def submit(renderer, move):
-        """Dispatch one viewer frame WITHOUT host syncs: advance one
-        sample (deferred counter fetches, progressive.step_nosync) and
+    def submit(renderer, move, spp=1):
+        """Dispatch one viewer frame WITHOUT host syncs: advance
+        ``spp`` samples (deferred counter fetches, step_nosync) and
         return the device-side uint8 RGBA frame handle.  The caller
         fetches it AFTER dispatching the next frame, so frame N+1's
         device compute overlaps frame N's relay transfer — the
         double-buffered present the web viewer runs."""
         if move:
             renderer.rotate(1, 0.02)        # viewer 'j': dirty + reset
-        renderer.step_nosync(1)
+        renderer.step_nosync(spp)
         frame = renderer.image_u8()         # dispatch drain + tonemap
         try:
             frame.copy_to_host_async()
@@ -128,7 +132,7 @@ def main() -> int:
         present_sync(rp)
     warmup_s = time.perf_counter() - t0
 
-    def run_phase(n, renderer, move):
+    def run_phase(n, renderer, move, spp=1):
         """Pipelined phase: n presented frames, each fetched after the
         NEXT frame's dispatch.  Frame time = present-to-present
         interval (what a viewer client experiences).  ADVICE r4: n == 0
@@ -140,11 +144,11 @@ def main() -> int:
                     "mrays_per_sec": None}
         frames = []
         rays_start = renderer.total_rays
-        pending = submit(renderer, move)
+        pending = submit(renderer, move, spp)
         t_prev = time.perf_counter()
         t_phase = t_prev
         for i in range(n):
-            nxt = submit(renderer, move) if i + 1 < n else None
+            nxt = submit(renderer, move, spp) if i + 1 < n else None
             t_fetch0 = time.perf_counter()
             rgba = np.asarray(pending)
             t_fetch1 = time.perf_counter()
@@ -170,7 +174,7 @@ def main() -> int:
             "fps_mean": round(n / wall, 3),
             "fps_best": round(1.0 / min(total), 3),
             "frame_ms_median": round(sorted(total)[n // 2] * 1e3, 1),
-            "samples_per_sec": round(n / wall, 3),
+            "samples_per_sec": round(n * spp / wall, 3),
             "mrays_per_sec": round(phase_rays / wall / 1e6, 3),
         }
 
@@ -181,7 +185,7 @@ def main() -> int:
     # don't average a navigate frame into the converge stats).
     if rp is not None and args.nav_frames:
         r.rotate(1, 0.02 * args.nav_frames)
-    acc = run_phase(args.acc_frames, r, move=False)
+    acc = run_phase(args.acc_frames, r, move=False, spp=args.acc_spp)
 
     # PNG screenshot cost, measured ONCE (the viewer encodes PNG only
     # on demand — it is no longer on the per-frame present path).
