@@ -94,9 +94,17 @@ def _build(args):
         jax.config.update("jax_platforms", "cpu")
     # Persistent XLA compile cache: remote TPU AOT compiles cost
     # 100-300 s per new render graph; cached reruns pay seconds.
+    # Precedence: LPT_COMPILE_CACHE env > the repo checkout's shared
+    # tests/.jax_cache (so the CLI hits the graphs bench/prewarm
+    # already compiled — a 1080p `web` session otherwise recompiles
+    # ~15 min of warm graphs into a second dir) > ~/.cache/lpt_xla.
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "tests", ".jax_cache")
     cache = os.environ.get(
         "LPT_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "lpt_xla"))
+        repo_cache if os.path.isdir(repo_cache)
+        else os.path.join(os.path.expanduser("~"), ".cache", "lpt_xla"))
     if cache and not args.cpu:
         # TPU runs only: XLA:CPU executable (de)serialization segfaults
         # intermittently on this host (utils/cache.py docstring).
